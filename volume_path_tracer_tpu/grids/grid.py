@@ -1,0 +1,151 @@
+"""Dense voxel grids: the TPU-native replacement for NanoVDB sparse trees.
+
+The reference stores volumes as NanoVDB trees and traverses them with pointer
+chasing (HDDA over root/internal/leaf nodes). On TPU, pointer chasing is a
+non-starter: we re-lay each grid out as a dense [X, Y, Z] float32 tensor in
+HBM covering the active index bounding box, paired with a per-brick majorant
+hierarchy (see majorant.py) that provides the same empty-space skipping the
+VDB tree gave the reference at leaf (8^3) granularity.
+
+Index/world transform parity (uniform scale + translation, the NanoVDB map
+used by all reference assets):
+  - indexToWorldF / worldToIndexF / worldToIndexDirF:
+    /root/reference/src/volume.cpp:80,91,172-174
+  - trilinear sampling at index coords with floor + fractional weights,
+    background value 0 outside the active bbox, matching
+    nanovdb::math::SampleFromVoxels<Acc, 1>
+    (/root/reference/src/majorant_transmittance_sampler.cpp:59).
+
+`DenseGrid` is a pytree whose only array leaf is the voxel data, so grids are
+directly differentiable (inverse rendering optimizes `data`), shardable, and
+donate-able; the transform is static metadata.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseGrid:
+    """A dense voxel grid over the active index bbox of a (possibly sparse) volume.
+
+    world = ijk * voxel_size + world_offset, with ijk in absolute index
+    coordinates (same convention as NanoVDB's uniform-scale map). Voxel (i,j,k)
+    of `data` holds the value at absolute index origin_ijk + (i,j,k).
+    """
+
+    data: jnp.ndarray  # [X, Y, Z] float32
+    origin_ijk: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    voxel_size: float = dataclasses.field(metadata=dict(static=True))
+    world_offset: Tuple[float, float, float] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return tuple(self.data.shape)
+
+    # ---- transforms (host or traced) ----
+    def world_to_index(self, p_world: jnp.ndarray) -> jnp.ndarray:
+        off = jnp.asarray(self.world_offset, dtype=jnp.float32)
+        return (p_world - off) / self.voxel_size
+
+    def index_to_world(self, p_index: jnp.ndarray) -> jnp.ndarray:
+        off = jnp.asarray(self.world_offset, dtype=jnp.float32)
+        return p_index * self.voxel_size + off
+
+    def world_to_index_dir_scale(self) -> float:
+        """|worldToIndexDirF(unit dir)| = 1/voxel_size for uniform-scale maps.
+
+        The reference's idx_to_world_scale (volume.cpp:91) is the reciprocal:
+        one voxel unit of ray parameter equals `voxel_size` world units.
+        """
+        return 1.0 / self.voxel_size
+
+    # ---- sampling ----
+    def sample_trilinear(self, p_index: jnp.ndarray) -> jnp.ndarray:
+        """Trilinear interpolation at absolute index coords p_index [..., 3].
+
+        Out-of-bbox corners contribute the background value 0, matching the
+        NanoVDB accessor's behavior for inactive/out-of-tree voxels.
+        """
+        local = p_index - jnp.asarray(self.origin_ijk, dtype=p_index.dtype)
+        return sample_trilinear_local(self.data, local)
+
+    def sample_nearest(self, ijk_abs: jnp.ndarray) -> jnp.ndarray:
+        """Raw voxel fetch at absolute integer index coords [..., 3], 0 outside."""
+        local = ijk_abs - jnp.asarray(self.origin_ijk, dtype=ijk_abs.dtype)
+        return gather_voxels(self.data, local)
+
+
+def gather_voxels(data: jnp.ndarray, ijk: jnp.ndarray) -> jnp.ndarray:
+    """Gather voxels at integer local coords ijk [..., 3]; 0 outside the array.
+
+    Implemented as one flat gather (XLA lowers this to a single TPU gather):
+    indices are clamped and a validity mask zeroes out-of-range lanes.
+    """
+    X, Y, Z = data.shape
+    i, j, k = ijk[..., 0], ijk[..., 1], ijk[..., 2]
+    valid = (
+        (i >= 0) & (i < X) & (j >= 0) & (j < Y) & (k >= 0) & (k < Z)
+    )
+    ic = jnp.clip(i, 0, X - 1)
+    jc = jnp.clip(j, 0, Y - 1)
+    kc = jnp.clip(k, 0, Z - 1)
+    flat_idx = (ic * Y + jc) * Z + kc
+    vals = jnp.take(data.reshape(-1), flat_idx.reshape(-1), mode="clip").reshape(
+        flat_idx.shape
+    )
+    return jnp.where(valid, vals, 0.0)
+
+
+def sample_trilinear_local(data: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of `data` [X,Y,Z] at float local coords p [..., 3]."""
+    i0 = jnp.floor(p).astype(jnp.int32)
+    f = p - i0.astype(p.dtype)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    # Gather the 8 corners as a single batched gather of shape [..., 8].
+    offsets = jnp.array(
+        [
+            [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+            [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1],
+        ],
+        dtype=jnp.int32,
+    )
+    corners = i0[..., None, :] + offsets  # [..., 8, 3]
+    v = gather_voxels(data, corners)  # [..., 8]
+
+    wx0, wx1 = 1.0 - fx, fx
+    wy0, wy1 = 1.0 - fy, fy
+    wz0, wz1 = 1.0 - fz, fz
+    return (
+        v[..., 0] * wx0 * wy0 * wz0
+        + v[..., 1] * wx0 * wy0 * wz1
+        + v[..., 2] * wx0 * wy1 * wz0
+        + v[..., 3] * wx0 * wy1 * wz1
+        + v[..., 4] * wx1 * wy0 * wz0
+        + v[..., 5] * wx1 * wy0 * wz1
+        + v[..., 6] * wx1 * wy1 * wz0
+        + v[..., 7] * wx1 * wy1 * wz1
+    )
+
+
+def dense_grid_from_array(
+    data: np.ndarray,
+    origin_ijk=(0, 0, 0),
+    voxel_size: float = 1.0,
+    world_offset=(0.0, 0.0, 0.0),
+) -> DenseGrid:
+    return DenseGrid(
+        data=jnp.asarray(data, dtype=jnp.float32),
+        origin_ijk=tuple(int(v) for v in origin_ijk),
+        voxel_size=float(voxel_size),
+        world_offset=tuple(float(v) for v in world_offset),
+    )

@@ -1,0 +1,512 @@
+"""Wavefront delta-tracking integrator: the TPU-native renderer core.
+
+The reference integrates one ray at a time through three nested data-dependent
+loops (path-depth loop, free-flight collision loop, HDDA segment loop —
+/root/reference/src/worker.cpp:92-208, majorant_transmittance_sampler.cpp:21-81,
+volume.cpp:38-76) plus a nested shadow-ray loop for next-event estimation
+(worker.cpp:52-90). None of that control flow can run on a TPU.
+
+TPU-first re-architecture: ONE batched wavefront loop over a block of rays.
+Each iteration advances every ray by exactly one "tracking event":
+
+    brick/superbrick DDA advance | exponential free-flight | collision handling
+
+with per-ray *mode* flags turning the loop into a state machine:
+
+    CAMERA  - delta tracking of the camera path: per-collision blackbody
+              emission (expected-value estimator weighted by p_a,
+              worker.cpp:152-157), then a discrete {null, absorb, scatter}
+              event (worker.cpp:159-163).
+    SHADOW  - ratio tracking of the NEE shadow ray toward the distant light,
+              with Russian roulette below T=0.05, q=0.75 (worker.cpp:65-86).
+              On completion the lane resumes its camera path with the
+              HG-sampled direction recorded at scatter time.
+    DONE    - retired lane (absorbed, escaped, or out of depth budget).
+
+All lanes execute the same vector code under masks; XLA fuses the entire body
+(gathers + RNG + arithmetic) into one loop kernel. Segment *merging* from the
+reference (volume.cpp:53-71) is intentionally dropped: free-flight sampling is
+memoryless, so restarting the exponential at every brick boundary yields the
+exact same distribution — it only consumes differently-indexed random numbers,
+which our counter-based RNG makes free.
+
+Behavioral quirks preserved (SURVEY.md section 7.4): emission at every
+collision pre-event; scatter consumes two depth units; escaping rays collect
+the infinite light unattenuated; zero-density collisions advance t without an
+event draw; NEE covers only the distant light; p_n clamped at 0.
+
+Differentiability: the same step function runs under `lax.while_loop` (fast
+forward) or bounded `lax.scan` (reverse-mode AD). Gradients flow through the
+trilinearly-sampled density/temperature (emission term, ratio-tracking
+weights) while majorants and event *selections* stay detached; discrete event
+choices contribute score-function factors via the attached/detached ratio
+`p_e / stop_grad(p_e)` (== 1 in value, d(log p) in gradient).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grids.grid import DenseGrid, gather_voxels, sample_trilinear_local
+from ..grids.majorant import BRICK, SUPER
+from ..models.medium import Medium
+from ..ops.phase import henyey_greenstein, sample_henyey_greenstein
+from ..utils import rng as vrng
+from ..utils.config import VolumeParameters, WorkerParameters
+
+# Lane modes
+CAM = 0
+SHADOW = 1
+DONE = 2
+
+_TINY = jnp.float32(1e-20)
+_LOOKAHEAD = 1e-3  # voxel units, mirrors the reference's t+1.0001 re-derive idea
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorParams:
+    """Static (compile-time) scene parameters closed over by the integrator."""
+
+    sigma_a: float
+    sigma_s: float
+    hg_g: float
+    le_scale: float
+    temperature_offset: float
+    temperature_scale: float
+    infinite_xyz: Tuple[float, float, float]
+    infinite_multiplier: float
+    distant_xyz: Tuple[float, float, float]
+    distant_multiplier: float
+    distant_inv_direction: Tuple[float, float, float]
+    max_depth: int
+    max_iters: int = 8192
+
+    @property
+    def sigma_t(self) -> float:
+        return self.sigma_a + self.sigma_s
+
+    @property
+    def nee_enabled(self) -> bool:
+        # sample_Ld early-outs on exactly-zero Li (worker.cpp:57).
+        return any(c * self.distant_multiplier != 0.0 for c in self.distant_xyz)
+
+    @staticmethod
+    def from_config(
+        vol: VolumeParameters, worker: WorkerParameters, max_iters: int = 8192
+    ) -> "IntegratorParams":
+        return IntegratorParams(
+            sigma_a=vol.sigma_a,
+            sigma_s=vol.sigma_s,
+            hg_g=vol.henyey_greenstein_g,
+            le_scale=vol.le_scale,
+            temperature_offset=vol.temperature_offset,
+            temperature_scale=vol.temperature_scale,
+            infinite_xyz=worker.infinite_light.xyz,
+            infinite_multiplier=worker.infinite_light.multiplier,
+            distant_xyz=worker.distant_light.xyz,
+            distant_multiplier=worker.distant_light.multiplier,
+            distant_inv_direction=worker.distant_light.inv_direction,
+            max_depth=worker.max_depth,
+            max_iters=max_iters,
+        )
+
+
+class RayState(NamedTuple):
+    """SoA wavefront state; every field is [N] or [N, 3]."""
+
+    o: jnp.ndarray  # [N,3] ray origin, density-grid index space (absolute coords)
+    d: jnp.ndarray  # [N,3] unit direction (== world direction, uniform scale)
+    t: jnp.ndarray  # [N] current parameter, voxel units
+    t_exit: jnp.ndarray  # [N] bbox exit parameter of the current ray
+    L: jnp.ndarray  # [N,3] accumulated XYZ radiance
+    wscore: jnp.ndarray  # [N] attached/detached score factor (== 1.0 in value)
+    depth: jnp.ndarray  # [N] int32 path depth (reference semantics: +2/scatter)
+    mode: jnp.ndarray  # [N] int32 CAM/SHADOW/DONE
+    terminated: jnp.ndarray  # [N] bool (absorbed -> no infinite light)
+    pend_o: jnp.ndarray  # [N,3] camera-resume origin (scatter point)
+    pend_d: jnp.ndarray  # [N,3] camera-resume direction (HG sample)
+    T_ray: jnp.ndarray  # [N] shadow-ray ratio-tracking transmittance
+    phase_val: jnp.ndarray  # [N] HG(w . wi) recorded at scatter time
+
+
+def _safe_inv(d: jnp.ndarray) -> jnp.ndarray:
+    mag = jnp.maximum(jnp.abs(d), 1e-12)
+    return jnp.sign(d) * (1.0 / mag) + jnp.where(d == 0.0, 1e12, 0.0)
+
+
+def clip_ray(o, d, lo, hi, t_min=1e-4):
+    """Slab-clip rays [N,3] against box [lo, hi]; returns (t0, t1, hit).
+
+    The reference clips the index ray against the grid's index bbox
+    (volume.cpp:83); t_min plays the role of the NanoVDB ray's default t0.
+    """
+    inv = _safe_inv(d)
+    ta = (lo - o) * inv
+    tb = (hi - o) * inv
+    t_lo = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t_hi = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    t0 = jnp.maximum(t_lo, t_min)
+    return t0, t_hi, t0 < t_hi
+
+
+def _cell_exit_t(o, d, cell_lo, cell_hi):
+    """Exit parameter of the axis-aligned cell [cell_lo, cell_hi] (per ray)."""
+    inv = _safe_inv(d)
+    ta = (cell_lo - o) * inv
+    tb = (cell_hi - o) * inv
+    return jnp.min(jnp.maximum(ta, tb), axis=-1)
+
+
+def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.ndarray]):
+    """Build the single-iteration wavefront step function.
+
+    Returns step(state, uniforms [N,8]) -> state. `medium`'s array leaves are
+    closed over (they are loop invariants; XLA keeps them in HBM and streams
+    gathers), its static transform metadata becomes compile-time constants.
+    """
+    dgrid = medium.density
+    O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
+    shape = jnp.asarray(dgrid.shape, dtype=jnp.float32)
+    bbox_lo = O
+    bbox_hi = O + shape
+    voxel = dgrid.voxel_size  # idx_to_world_scale (volume.cpp:91)
+
+    sigma_a, sigma_s = params.sigma_a, params.sigma_s
+    sigma_t = params.sigma_t
+    g = params.hg_g
+
+    emission_on = medium.has_temperature and params.le_scale != 0.0
+    nee_on = params.nee_enabled
+
+    wi_np = jnp.asarray(params.distant_inv_direction, dtype=jnp.float32)
+    wi = wi_np / jnp.linalg.norm(wi_np)  # worker.cpp:54
+    Li = jnp.asarray(params.distant_xyz, dtype=jnp.float32) * params.distant_multiplier
+    L_inf = (
+        jnp.asarray(params.infinite_xyz, dtype=jnp.float32)
+        * params.infinite_multiplier
+    )
+
+    brick_maj = medium.majorants.brick_maj
+    super_maj = medium.majorants.super_maj
+
+    def step(st: RayState, u: jnp.ndarray) -> RayState:
+        N = st.t.shape[0]
+        active = st.mode != DONE
+        in_cam = st.mode == CAM
+        in_shw = st.mode == SHADOW
+
+        # ---- DDA: find the current cell (brick or empty superbrick) ----
+        p_look = st.o + st.d * (st.t + _LOOKAHEAD)[:, None]
+        lp = p_look - O  # local (grid-relative) float coords
+        sb = jnp.floor(lp / (BRICK * SUPER)).astype(jnp.int32)
+        bb = jnp.floor(lp / BRICK).astype(jnp.int32)
+        smaj = gather_voxels(super_maj, sb)
+        bmaj = gather_voxels(brick_maj, bb)
+        # If the whole superbrick is empty, step over it in one go.
+        use_super = smaj <= 0.0
+        cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
+        cell_idx = jnp.where(use_super[:, None], sb, bb).astype(jnp.float32)
+        cell_lo = cell_idx * cell_sz[:, None] + O
+        cell_hi = cell_lo + cell_sz[:, None]
+        t_cell = _cell_exit_t(st.o, st.d, cell_lo, cell_hi)
+        t_seg_end = jnp.minimum(t_cell, st.t_exit)
+        # Guaranteed forward progress even on degenerate geometry.
+        t_seg_end = jnp.maximum(t_seg_end, st.t + 2 * _LOOKAHEAD)
+
+        maj = jnp.where(use_super, 0.0, bmaj)
+        sigma_maj = maj * sigma_t  # world-space majorant (sampler.cpp:41)
+        empty = sigma_maj <= 0.0
+
+        # ---- free flight (sampler.cpp:44-45): dt in world units ----
+        dt_w = vrng.sample_exponential(u[:, 0], jnp.maximum(sigma_maj, _TINY))
+        t_cand = st.t + dt_w / voxel
+        collide = active & (~empty) & (t_cand < t_seg_end)
+        exited = active & (~collide) & (t_seg_end >= st.t_exit - 1e-6)
+        stepped = active & (~collide) & (~exited)
+
+        # ---- collision point and density ----
+        p_col = st.o + st.d * t_cand[:, None]
+        rho = sample_trilinear_local(dgrid.data, p_col - O)
+        rho_pos = rho > 0.0
+        real_col = collide & rho_pos
+        zero_col = collide & (~rho_pos)  # sampler.cpp:60-61: silently advance
+
+        sig = jnp.maximum(sigma_maj, _TINY)
+
+        # =========== CAMERA-mode collision handling ===========
+        cam_col = in_cam & real_col
+        p_a = sigma_a * rho / sig  # worker.cpp:148
+        p_s = sigma_s * rho / sig
+        p_n = jnp.maximum(1.0 - p_a - p_s, 0.0)  # worker.cpp:150 clamp
+
+        L_new = st.L
+        if emission_on:
+            tgrid = medium.temperature
+            p_world = p_col * voxel + jnp.asarray(dgrid.world_offset, jnp.float32)
+            tp = (
+                p_world - jnp.asarray(tgrid.world_offset, jnp.float32)
+            ) / tgrid.voxel_size
+            temp_adim = sample_trilinear_local(
+                tgrid.data, tp - jnp.asarray(tgrid.origin_ijk, jnp.float32)
+            )
+            temp_k = (
+                temp_adim * params.temperature_scale + params.temperature_offset
+            )  # worker.cpp:155
+            from ..utils.spectral import blackbody_radiation_xyz
+
+            emit = p_a[:, None] * params.le_scale * blackbody_radiation_xyz(
+                bb_table, temp_k
+            )
+            L_new = L_new + jnp.where(
+                cam_col[:, None], emit * st.wscore[:, None], 0.0
+            )
+
+        event = vrng.sample_discrete3(p_n, p_a, p_s, u[:, 1])  # worker.cpp:159
+        is_null = event == 0
+        is_abs = event == 1
+        is_scat = event == 2
+
+        cam_null = cam_col & is_null
+        cam_abs = cam_col & is_abs
+        cam_scat = cam_col & is_scat
+
+        # Score factor for the discrete event choice (1.0 in value).
+        p_e = jnp.where(is_null, p_n, jnp.where(is_abs, p_a, p_s))
+        p_e_safe = jnp.maximum(p_e, _TINY)
+        ratio_e = p_e_safe / jax.lax.stop_gradient(p_e_safe)
+        wscore_new = jnp.where(cam_col, st.wscore * ratio_e, st.wscore)
+
+        # HG redirect sampled for every lane; used only on scatter.
+        new_dir = sample_henyey_greenstein(st.d, u[:, 2], u[:, 3], g)
+        phase_new = henyey_greenstein(jnp.sum(st.d * wi, axis=-1), g)  # worker.cpp:88
+
+        depth_new = jnp.where(cam_scat, st.depth + 2, st.depth)  # quirk 7.4
+
+        pend_o_new = jnp.where(cam_scat[:, None], p_col, st.pend_o)
+        pend_d_new = jnp.where(cam_scat[:, None], new_dir, st.pend_d)
+        phase_val_new = jnp.where(cam_scat, phase_new, st.phase_val)
+
+        # =========== SHADOW-mode collision handling ===========
+        shw_col = in_shw & real_col
+        sigma_n = jnp.maximum(0.0, sigma_maj - sigma_t * rho)  # worker.cpp:68
+        T_after = st.T_ray * (sigma_n / sig)
+        rr = T_after <= 0.05
+        rr_kill = rr & (u[:, 4] < 0.75)
+        T_after = jnp.where(
+            rr_kill, 0.0, jnp.where(rr, T_after / 0.25, T_after)
+        )  # worker.cpp:73-80
+        T_ray_new = jnp.where(shw_col, T_after, st.T_ray)
+        shw_dead = shw_col & (T_ray_new <= 0.0)
+
+        shw_exit = in_shw & exited
+        # Shadow ray finished: either escaped (estimate stands) or roulette-killed.
+        shadow_finish = shw_exit | shw_dead
+        contrib = (
+            st.phase_val[:, None] * T_ray_new[:, None] * Li * wscore_new[:, None]
+        )
+        L_new = L_new + jnp.where(shadow_finish[:, None], contrib, 0.0)
+
+        # =========== resume / retire ===========
+        # Lanes that need to (re)start camera tracking from the pending ray:
+        resume = shadow_finish | (cam_scat if not nee_on else jnp.zeros_like(cam_scat))
+        if nee_on:
+            # Scatter first runs the shadow ray; camera resume happens at
+            # shadow completion.
+            start_shadow = cam_scat
+        else:
+            start_shadow = jnp.zeros_like(cam_scat)
+            resume = shadow_finish | cam_scat
+
+        # Clip for whichever new ray this lane may start this iteration.
+        new_o = jnp.where(start_shadow[:, None], p_col, pend_o_new)
+        new_d = jnp.where(start_shadow[:, None], wi, pend_d_new)
+        t0n, t1n, hitn = clip_ray(new_o, new_d, bbox_lo, bbox_hi)
+
+        # Depth budget check on resume (reference's for-loop condition).
+        depth_ok = depth_new < params.max_depth
+        resume_ok = resume & hitn & depth_ok
+        resume_escape = resume & ((~hitn) | (~depth_ok))
+
+        start_shadow_ok = start_shadow & hitn
+        # A shadow ray that misses the bbox entirely keeps T_ray = 1
+        # (worker.cpp:63: no intersection -> transmittance 1).
+        shadow_miss = start_shadow & (~hitn)
+        L_new = L_new + jnp.where(
+            shadow_miss[:, None],
+            phase_val_new[:, None] * Li * wscore_new[:, None],
+            0.0,
+        )
+        # After a missed shadow ray, resume camera immediately from pend.
+        t0p, t1p, hitp = clip_ray(pend_o_new, pend_d_new, bbox_lo, bbox_hi)
+        miss_resume_ok = shadow_miss & hitp & depth_ok
+        miss_resume_escape = shadow_miss & ((~hitp) | (~depth_ok))
+
+        # ---- retire lanes ----
+        cam_exit = in_cam & exited
+        becomes_done_inf = cam_exit | resume_escape | miss_resume_escape
+        becomes_done_term = cam_abs
+        L_new = L_new + jnp.where(
+            becomes_done_inf[:, None], L_inf * wscore_new[:, None], 0.0
+        )  # worker.cpp:198-200 (unattenuated infinite light)
+
+        # ---- merge next state ----
+        mode_new = st.mode
+        mode_new = jnp.where(becomes_done_inf | becomes_done_term, DONE, mode_new)
+        mode_new = jnp.where(start_shadow_ok, SHADOW, mode_new)
+        mode_new = jnp.where(resume_ok | miss_resume_ok, CAM, mode_new)
+
+        terminated_new = st.terminated | becomes_done_term
+
+        o_new = jnp.where(start_shadow_ok[:, None], new_o, st.o)
+        d_new = jnp.where(start_shadow_ok[:, None], new_d, st.d)
+        t_new = jnp.where(start_shadow_ok, t0n, st.t)
+        t_exit_new = jnp.where(start_shadow_ok, t1n, st.t_exit)
+
+        o_new = jnp.where(resume_ok[:, None], pend_o_new, o_new)
+        d_new = jnp.where(resume_ok[:, None], pend_d_new, d_new)
+        t_res = jnp.where(resume & (~start_shadow), t0n, t0p)
+        t_exit_res = jnp.where(resume & (~start_shadow), t1n, t1p)
+        t_new = jnp.where(resume_ok, t_res, t_new)
+        t_exit_new = jnp.where(resume_ok, t_exit_res, t_exit_new)
+        o_new = jnp.where(miss_resume_ok[:, None], pend_o_new, o_new)
+        d_new = jnp.where(miss_resume_ok[:, None], pend_d_new, d_new)
+        t_new = jnp.where(miss_resume_ok, t0p, t_new)
+        t_exit_new = jnp.where(miss_resume_ok, t1p, t_exit_new)
+
+        # Plain tracking advances (no mode change).
+        plain_adv = (cam_null | zero_col | (in_shw & real_col & ~shadow_finish))
+        t_new = jnp.where(plain_adv, t_cand, t_new)
+        t_new = jnp.where(stepped, t_seg_end, t_new)
+
+        T_ray_out = jnp.where(start_shadow_ok, 1.0, T_ray_new)
+
+        return RayState(
+            o=o_new,
+            d=d_new,
+            t=t_new,
+            t_exit=t_exit_new,
+            L=L_new,
+            wscore=wscore_new,
+            depth=depth_new,
+            mode=mode_new,
+            terminated=terminated_new,
+            pend_o=pend_o_new,
+            pend_d=pend_d_new,
+            T_ray=T_ray_out,
+            phase_val=phase_val_new,
+        )
+
+    return step
+
+
+def init_state(
+    medium: Medium, o_world: jnp.ndarray, d_world: jnp.ndarray
+) -> RayState:
+    """World rays -> initial wavefront state (Volume::intersect semantics).
+
+    Rays that miss the index bbox start in DONE mode but *unterminated* —
+    they still collect the infinite light, matching the reference where a
+    missing intersection breaks the depth loop without setting `terminated`
+    (worker.cpp:133-134, 197-200). The infinite-light add for missing rays
+    happens in finalize_radiance.
+    """
+    dgrid = medium.density
+    N = o_world.shape[0]
+    O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
+    shape = jnp.asarray(dgrid.shape, dtype=jnp.float32)
+    o_idx = dgrid.world_to_index(o_world)
+    d_idx = d_world  # unit under uniform scale
+    t0, t1, hit = clip_ray(o_idx, d_idx, O, O + shape)
+    zeros = jnp.zeros((N,), jnp.float32)
+    return RayState(
+        o=o_idx,
+        d=d_idx,
+        t=jnp.where(hit, t0, 0.0),
+        t_exit=jnp.where(hit, t1, 0.0),
+        L=jnp.zeros((N, 3), jnp.float32),
+        wscore=jnp.ones((N,), jnp.float32),
+        depth=jnp.zeros((N,), jnp.int32),
+        mode=jnp.where(hit, CAM, DONE).astype(jnp.int32),
+        terminated=jnp.zeros((N,), bool),
+        pend_o=o_idx,
+        pend_d=d_idx,
+        T_ray=jnp.ones((N,), jnp.float32),
+        phase_val=zeros,
+    )
+
+
+def finalize_radiance(st: RayState, params: IntegratorParams) -> jnp.ndarray:
+    """Add the infinite light to unterminated lanes that never entered the loop
+    or ran out of iterations, and return per-ray XYZ radiance [N, 3]."""
+    L_inf = (
+        jnp.asarray(params.infinite_xyz, dtype=jnp.float32)
+        * params.infinite_multiplier
+    )
+    # Lanes still not DONE (iteration cap) or retired-at-init lanes with no
+    # infinite light yet: a lane that went through the loop's retire path has
+    # mode DONE and got its L_inf there; init-miss lanes have mode DONE but
+    # zero L. We track those by t_exit == 0 (init miss marker).
+    init_miss = (st.mode == DONE) & (st.t_exit == 0.0) & (~st.terminated)
+    capped = st.mode != DONE
+    add = (init_miss | capped) & (~st.terminated)
+    return st.L + jnp.where(add[:, None], L_inf * st.wscore[:, None], 0.0)
+
+
+def trace_rays(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table: Optional[jnp.ndarray],
+    o_world: jnp.ndarray,
+    d_world: jnp.ndarray,
+    pixel_ids: jnp.ndarray,
+    stream: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast forward render of a ray batch with lax.while_loop.
+
+    Returns (radiance [N,3], iterations_used []).
+    """
+    step = make_step(medium, params, bb_table)
+    st0 = init_state(medium, o_world, d_world)
+
+    def cond(carry):
+        st, it = carry
+        return (it < params.max_iters) & jnp.any(st.mode != DONE)
+
+    def body(carry):
+        st, it = carry
+        u = vrng.counter_uniforms(pixel_ids, stream, it, 8)
+        return step(st, u), it + 1
+
+    st_fin, iters = jax.lax.while_loop(cond, body, (st0, jnp.int32(0)))
+    return finalize_radiance(st_fin, params), iters
+
+
+def trace_rays_diff(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table: Optional[jnp.ndarray],
+    o_world: jnp.ndarray,
+    d_world: jnp.ndarray,
+    pixel_ids: jnp.ndarray,
+    stream: jnp.ndarray,
+    n_iters: int,
+) -> jnp.ndarray:
+    """Differentiable forward render: bounded lax.scan of the same step.
+
+    Reverse-mode AD cannot cross lax.while_loop; the scan bound `n_iters`
+    caps path length for gradient renders (rays still alive at the cap are
+    finalized exactly like the while path). jax.checkpoint on the step keeps
+    backward memory at O(sqrt-ish) instead of storing every gather.
+    """
+    step = jax.checkpoint(make_step(medium, params, bb_table))
+    st0 = init_state(medium, o_world, d_world)
+
+    def body(st, it):
+        u = vrng.counter_uniforms(pixel_ids, stream, it, 8)
+        return step(st, u), None
+
+    st_fin, _ = jax.lax.scan(body, st0, jnp.arange(n_iters, dtype=jnp.int32))
+    return finalize_radiance(st_fin, params)

@@ -1,0 +1,102 @@
+"""Spectral subsystem: Planck blackbody emission pre-integrated to CIE XYZ.
+
+Behavioral parity with the reference:
+  - planck_law: /root/reference/src/spectral.cpp:7-20
+  - spectrum_to_xyz (471-wavelength inner products / Y_integral):
+    /root/reference/include/vpt/spectral.hpp:62-75
+  - blackbody XYZ LUT, 500 breakpoints at 100 K spacing with the reference's
+    deliberate one-slot shift (idx_to_temp(i) = (i-1)*100, so slot 0 holds
+    T=-100K which the Planck T<=0 guard zeroes):
+    /root/reference/src/precompute_blackbody.cpp:7-52
+
+TPU-first design: the LUT is built once on host with numpy (the reference
+builds it at startup too, main.cpp:32) and shipped to the device as a small
+[500, 3] table; the runtime lookup `blackbody_radiation_xyz` is pure jnp
+(gather + lerp), fully differentiable w.r.t. temperature, and is fused by XLA
+into the integrator loop.
+
+Deviation from the reference (documented): for T >= 49,900 K the reference
+falls back to exact spectral integration at runtime; we clamp to the last LUT
+breakpoint instead, because data-dependent 471-term integration inside a jit
+region would destroy TPU performance. Fire scenes peak far below this
+(temperature_scale=43 => ~43*T_adim+300 K).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cie_data import CIE_X, CIE_Y, CIE_Z, CIE_Y_INTEGRAL, LAMBDA_MIN, NUM_WAVELENGTHS
+
+N_BREAKPOINTS = 500
+RESOLUTION = 50000.0 / N_BREAKPOINTS  # 100 K
+TEMP_MAX = (N_BREAKPOINTS - 1) * RESOLUTION  # 49,900 K
+
+
+def planck_law(lambda_m: np.ndarray, temperature_k: float) -> np.ndarray:
+    """Spectral radiance of a blackbody (W.sr^-1.m^-3), float32 math.
+
+    Mirrors spectral.cpp:7-20 including the float32 constants.
+    """
+    lambda_m = np.asarray(lambda_m, dtype=np.float32)
+    if temperature_k <= 0.0:
+        return np.zeros_like(lambda_m)
+    c = np.float32(299792458.0)
+    h = np.float32(6.62606957e-34)
+    kb = np.float32(1.3806488e-23)
+    num = np.float32(2.0) * h * c * c
+    lambda5 = lambda_m**5
+    with np.errstate(over="ignore"):  # exp overflow -> inf -> radiance 0, as in f32 C++
+        ex = np.exp((h * c) / (lambda_m * kb * np.float32(temperature_k)))
+        return num / (lambda5 * (ex - np.float32(1.0)))
+
+
+def blackbody_spectrum_to_xyz(temperature_k: float) -> np.ndarray:
+    """Integrate the Planck spectrum at T against the CIE XYZ curves.
+
+    Mirrors spectral.hpp:62-75: plain 1 nm Riemann sums over 360..830 nm,
+    normalized by the CIE Y integral.
+    """
+    lambdas_nm = np.arange(LAMBDA_MIN, LAMBDA_MIN + NUM_WAVELENGTHS, dtype=np.float32)
+    s = planck_law(lambdas_nm * np.float32(1e-9), temperature_k)
+    return (
+        np.array([np.dot(CIE_X, s), np.dot(CIE_Y, s), np.dot(CIE_Z, s)])
+        / CIE_Y_INTEGRAL
+    ).astype(np.float32)
+
+
+def _idx_to_temp(idx: int) -> float:
+    # Reference quirk (precompute_blackbody.cpp:14-16): the table is shifted
+    # one slot, so slot i holds the XYZ of temperature (i-1)*100 K.
+    return (idx - 1) * RESOLUTION
+
+
+@functools.lru_cache(maxsize=1)
+def blackbody_xyz_table() -> np.ndarray:
+    """The [500, 3] blackbody XYZ LUT, breakpoint i at temperature (i-1)*100 K."""
+    table = np.zeros((N_BREAKPOINTS, 3), dtype=np.float32)
+    for i in range(N_BREAKPOINTS):
+        table[i] = blackbody_spectrum_to_xyz(_idx_to_temp(i))
+    return table
+
+
+def blackbody_radiation_xyz(table: jnp.ndarray, temperature_k: jnp.ndarray) -> jnp.ndarray:
+    """XYZ radiance of a blackbody at temperature_k (any shape) via the LUT.
+
+    Mirrors precompute_blackbody.cpp:25-52: T <= 0 -> 0; otherwise linear
+    interpolation between the two straddling breakpoints of the shifted
+    table. Differentiable w.r.t. temperature_k.
+    temperatures >= TEMP_MAX clamp to the last breakpoint (see module note).
+    """
+    t = jnp.asarray(temperature_k)
+    # Shifted table: temperature T lives between slots floor(T/100)+1 and +2.
+    tc = jnp.clip(t, 0.0, TEMP_MAX - 1e-3)
+    idx = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
+    idx = jnp.clip(idx, 0, N_BREAKPOINTS - 2)
+    frac = tc / RESOLUTION - (idx - 1).astype(tc.dtype)
+    lo = table[idx]
+    hi = table[idx + 1]
+    out = lo + (hi - lo) * frac[..., None]
+    return jnp.where(t[..., None] <= 0.0, 0.0, out)
