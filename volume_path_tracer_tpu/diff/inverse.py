@@ -1,0 +1,166 @@
+"""Inverse rendering: recover density/temperature grids from target images.
+
+The new capability mandated by the north star (BASELINE.json): reverse-mode
+pixel gradients w.r.t. the voxel grids, with the grid-gradient all-reduce
+overlapped with the backward pass. The forward estimator is the same
+wavefront delta tracker (render/integrator.py) run under a bounded scan;
+gradients flow through trilinear density/temperature samples, ratio-tracking
+weights, and the emission term, with score-function factors for the discrete
+event choices (detached-majorant differentiable delta tracking).
+
+Sharded training: value_and_grad runs *inside* shard_map, then the grid
+gradients are psum'd over both mesh axes — XLA schedules the psum against the
+remaining backward scatter-adds, giving the comm/compute overlap. The loss is
+a global mean over all rays (per-shard sums psum'd and normalized).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..grids.majorant import build_majorants
+from ..models.camera import Camera
+from ..models.medium import Medium
+from ..render.integrator import IntegratorParams, trace_rays_diff
+from ..utils import rng as vrng
+
+
+class OptimizableGrids(NamedTuple):
+    """The leaves being optimized. log-parameterized density keeps rho >= 0."""
+
+    log_density: jnp.ndarray  # [X,Y,Z]; density = softplus(log_density)
+    temperature: Optional[jnp.ndarray] = None  # raw adimensional grid or None
+
+
+def density_from_param(p: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softplus(p)
+
+
+def param_from_density(d: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    # inverse softplus
+    d = jnp.maximum(d, eps)
+    return d + jnp.log(-jnp.expm1(-d))
+
+
+def medium_with_params(base: Medium, grids: OptimizableGrids) -> Medium:
+    density = dataclasses.replace(
+        base.density, data=density_from_param(grids.log_density)
+    )
+    temperature = base.temperature
+    if grids.temperature is not None and base.temperature is not None:
+        temperature = dataclasses.replace(base.temperature, data=grids.temperature)
+    return Medium(
+        density=density,
+        majorants=build_majorants(density),
+        temperature=temperature,
+    )
+
+
+def make_render_loss(
+    base_medium: Medium,
+    params: IntegratorParams,
+    camera: Camera,
+    bb_table,
+    n_iters: int,
+    use_jitter: bool,
+):
+    """loss(grids, raster, pids, target_px, seed_wave) -> (sum_sq, n) per batch.
+
+    Returns per-batch *sums* so sharded callers can psum before normalizing.
+    target_px: [N, 3] target film XYZ (already imaging_ratio-scaled means).
+    """
+
+    def loss_fn(grids: OptimizableGrids, raster, pids, target_px, seed_wave):
+        medium = medium_with_params(base_medium, grids)
+        stream = vrng.mix_stream(seed_wave[0], seed_wave[1])
+        u_jit = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
+        jitter = u_jit * (0.5 if use_jitter else 0.0)
+        o_w, d_w = camera.generate_rays(raster, jitter)
+        L = trace_rays_diff(
+            medium, params, bb_table, o_w, d_w, pids, stream, n_iters
+        )
+        px = camera.imaging_ratio * L
+        sq = jnp.sum((px - target_px) ** 2)
+        return sq, jnp.float32(px.size)
+
+    return loss_fn
+
+
+def make_train_step(
+    base_medium: Medium,
+    params: IntegratorParams,
+    camera: Camera,
+    bb_table,
+    optimizer: optax.GradientTransformation,
+    n_iters: int = 512,
+    use_jitter: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """Build a jitted train step.
+
+    Single-device: step(grids, opt_state, raster, pids, target, seed_wave).
+    With a mesh: rays are sharded over 'rays' (and waves over 'spp'), grid
+    gradients psum'd over both axes inside shard_map.
+    """
+    loss_fn = make_render_loss(
+        base_medium, params, camera, bb_table, n_iters, use_jitter
+    )
+
+    if mesh is None:
+
+        @jax.jit
+        def train_step(grids, opt_state, raster, pids, target_px, seed_wave):
+            (sq, n), grads = jax.value_and_grad(
+                lambda g: loss_fn(g, raster, pids, target_px, seed_wave),
+                has_aux=True,
+            )(grids)
+            loss = sq / n
+            grads = jax.tree.map(lambda x: x / n, grads)
+            updates, opt_state = optimizer.update(grads, opt_state, grids)
+            grids = optax.apply_updates(grids, updates)
+            return grids, opt_state, loss
+
+        return train_step
+
+    spp_size = mesh.shape["spp"]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("rays", None), P("rays"), P("rays", None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def grad_shard(grids, raster, pids, target_px, seed_wave):
+        # Each 'spp' row renders a different wave of the same pixels.
+        spp_idx = jax.lax.axis_index("spp").astype(jnp.uint32)
+        sw = jnp.stack([seed_wave[0], seed_wave[1] * spp_size + spp_idx])
+        (sq, n), grads = jax.value_and_grad(
+            lambda g: loss_fn(g, raster, pids, target_px, sw), has_aux=True
+        )(grids)
+        # Grid-gradient all-reduce over both mesh axes; XLA overlaps this
+        # psum with the remaining backward computation.
+        grads = jax.tree.map(
+            lambda x: jax.lax.psum(x, ("rays", "spp")), grads
+        )
+        tot = jax.lax.psum(jnp.stack([sq, n]), ("rays", "spp"))
+        return grads, tot
+
+    @jax.jit
+    def train_step(grids, opt_state, raster, pids, target_px, seed_wave):
+        grads, tot = grad_shard(grids, raster, pids, target_px, seed_wave)
+        n = tot[1]
+        loss = tot[0] / n
+        grads = jax.tree.map(lambda x: x / n, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, grids)
+        grids = optax.apply_updates(grids, updates)
+        return grids, opt_state, loss
+
+    return train_step
