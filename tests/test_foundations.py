@@ -289,3 +289,38 @@ class TestMajorants:
 
         grad = jax.grad(f)(jnp.ones((8, 8, 8)))
         assert float(jnp.abs(grad).max()) == 0.0
+
+
+class TestPackedTrilinear:
+    def test_rows_match_generic_everywhere(self):
+        from volume_path_tracer_tpu.grids.grid import (
+            pack_corner_rows,
+            sample_trilinear_rows,
+        )
+        rs = np.random.default_rng(11)
+        data = rs.random((9, 7, 11)).astype(np.float32)
+        rows = np.asarray(pack_corner_rows(jnp.asarray(data)))
+        # points spanning inside, faces, the [-1,dim] halo, and far outside
+        pts = (rs.random((5000, 3)).astype(np.float32) * 16.0 - 3.0)
+        a = np.asarray(sample_trilinear_local(jnp.asarray(data), jnp.asarray(pts)))
+        b = np.asarray(
+            sample_trilinear_rows(jnp.asarray(rows), data.shape, jnp.asarray(pts))
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_majorant_rows_pack(self):
+        from volume_path_tracer_tpu.grids.majorant import build_majorants
+        rs = np.random.default_rng(12)
+        data = rs.random((70, 30, 20)).astype(np.float32)
+        pyr = build_majorants(dense_grid_from_array(data))
+        b = np.asarray(pyr.brick_maj)
+        rows = np.asarray(pyr.rows)
+        s = np.asarray(pyr.super_maj)
+        bx, by, bz = b.shape
+        np.testing.assert_allclose(rows[:, 0], b.reshape(-1))
+        idx = 0
+        for i in range(bx):
+            for j in range(by):
+                for k in range(bz):
+                    assert rows[idx, 1] == s[i // 8, j // 8, k // 8]
+                    idx += 1

@@ -43,6 +43,10 @@ class MajorantPyramid:
 
     brick_maj: jnp.ndarray  # [BX, BY, BZ] float32
     super_maj: jnp.ndarray  # [SX, SY, SZ] float32
+    # Packed per-brick rows [BX*BY*BZ, 2]: (brick majorant, superbrick
+    # majorant) — one row-2 gather fetches both levels in the traversal loop
+    # (TPU row gathers are far cheaper than two element gathers).
+    rows: jnp.ndarray
     origin_ijk: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -99,8 +103,14 @@ def build_majorants(grid: DenseGrid, order: int = 1) -> MajorantPyramid:
     )
     sup = jnp.maximum(sup, 0.0)
 
+    # Per-brick packed rows: duplicate each superbrick value over its bricks.
+    sup_per_brick = jnp.repeat(
+        jnp.repeat(jnp.repeat(sup, SUPER, 0), SUPER, 1), SUPER, 2
+    )[:bx, :by, :bz]
+    rows = jnp.stack([brick.reshape(-1), sup_per_brick.reshape(-1)], axis=-1)
+
     return MajorantPyramid(
-        brick_maj=brick, super_maj=sup, origin_ijk=grid.origin_ijk
+        brick_maj=brick, super_maj=sup, rows=rows, origin_ijk=grid.origin_ijk
     )
 
 

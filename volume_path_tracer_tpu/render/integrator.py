@@ -50,7 +50,12 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..grids.grid import DenseGrid, gather_voxels, sample_trilinear_local
+from ..grids.grid import (
+    DenseGrid,
+    gather_voxels,
+    sample_trilinear_local,
+    sample_trilinear_rows,
+)
 from ..grids.majorant import BRICK, SUPER
 from ..models.medium import Medium
 from ..ops.phase import henyey_greenstein, sample_henyey_greenstein
@@ -189,8 +194,13 @@ def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.n
         * params.infinite_multiplier
     )
 
-    brick_maj = medium.majorants.brick_maj
-    super_maj = medium.majorants.super_maj
+    maj_rows = medium.majorants.rows  # [NB, 2]: (brick, super) per brick
+    BX, BY, BZ = medium.majorants.brick_maj.shape
+
+    def _sample_density(p_local):
+        if medium.density_rows is not None:
+            return sample_trilinear_rows(medium.density_rows, dgrid.shape, p_local)
+        return sample_trilinear_local(dgrid.data, p_local)
 
     def step(st: RayState, u: jnp.ndarray) -> RayState:
         N = st.t.shape[0]
@@ -201,10 +211,17 @@ def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.n
         # ---- DDA: find the current cell (brick or empty superbrick) ----
         p_look = st.o + st.d * (st.t + _LOOKAHEAD)[:, None]
         lp = p_look - O  # local (grid-relative) float coords
-        sb = jnp.floor(lp / (BRICK * SUPER)).astype(jnp.int32)
         bb = jnp.floor(lp / BRICK).astype(jnp.int32)
-        smaj = gather_voxels(super_maj, sb)
-        bmaj = gather_voxels(brick_maj, bb)
+        sb = jnp.floor(lp / (BRICK * SUPER)).astype(jnp.int32)
+        # One row-2 gather yields (brick majorant, superbrick majorant).
+        bi, bj, bk = bb[:, 0], bb[:, 1], bb[:, 2]
+        b_valid = (
+            (bi >= 0) & (bi < BX) & (bj >= 0) & (bj < BY) & (bk >= 0) & (bk < BZ)
+        )
+        b_flat = (jnp.clip(bi, 0, BX - 1) * BY + jnp.clip(bj, 0, BY - 1)) * BZ + jnp.clip(bk, 0, BZ - 1)
+        both = jnp.take(maj_rows, b_flat, axis=0, mode="clip")
+        bmaj = jnp.where(b_valid, both[:, 0], 0.0)
+        smaj = jnp.where(b_valid, both[:, 1], 0.0)
         # If the whole superbrick is empty, step over it in one go.
         use_super = smaj <= 0.0
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
@@ -229,7 +246,7 @@ def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.n
 
         # ---- collision point and density ----
         p_col = st.o + st.d * t_cand[:, None]
-        rho = sample_trilinear_local(dgrid.data, p_col - O)
+        rho = _sample_density(p_col - O)
         rho_pos = rho > 0.0
         real_col = collide & rho_pos
         zero_col = collide & (~rho_pos)  # sampler.cpp:60-61: silently advance
@@ -249,9 +266,13 @@ def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.n
             tp = (
                 p_world - jnp.asarray(tgrid.world_offset, jnp.float32)
             ) / tgrid.voxel_size
-            temp_adim = sample_trilinear_local(
-                tgrid.data, tp - jnp.asarray(tgrid.origin_ijk, jnp.float32)
-            )
+            tp_local = tp - jnp.asarray(tgrid.origin_ijk, jnp.float32)
+            if medium.temperature_rows is not None:
+                temp_adim = sample_trilinear_rows(
+                    medium.temperature_rows, tgrid.shape, tp_local
+                )
+            else:
+                temp_adim = sample_trilinear_local(tgrid.data, tp_local)
             temp_k = (
                 temp_adim * params.temperature_scale + params.temperature_offset
             )  # worker.cpp:155
@@ -464,24 +485,73 @@ def trace_rays(
     pixel_ids: jnp.ndarray,
     stream: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fast forward render of a ray batch with lax.while_loop.
+    """Fast forward render of a ray batch with lax.while_loop + compaction.
+
+    Lane occupancy decays rapidly (most rays retire within tens of
+    iterations; a long tail runs for hundreds), so the batch is periodically
+    *compacted*: once the alive count fits in the next (statically-shaped)
+    narrower buffer, alive lanes are gathered to the front and the loop
+    continues at reduced width. Results are bitwise identical to the
+    uncompacted loop: every alive ray steps once per global iteration and its
+    random draws are keyed on (pixel id, global iteration), independent of
+    lane position.
 
     Returns (radiance [N,3], iterations_used []).
     """
     step = make_step(medium, params, bb_table)
     st0 = init_state(medium, o_world, d_world)
+    N = pixel_ids.shape[0]
 
-    def cond(carry):
-        st, it = carry
-        return (it < params.max_iters) & jnp.any(st.mode != DONE)
+    # Static compaction schedule: shrink width 8x whenever the tail fits.
+    widths = []
+    w = N
+    while w > 512 and len(widths) < 4:
+        w = max(512, w // 8)
+        widths.append(w)
 
-    def body(carry):
-        st, it = carry
-        u = vrng.counter_uniforms(pixel_ids, stream, it, 8)
-        return step(st, u), it + 1
+    out = jnp.zeros((N, 3), jnp.float32)
+    idx_map = jnp.arange(N, dtype=jnp.int32)
+    st = st0
+    pids = pixel_ids
+    it = jnp.int32(0)
 
-    st_fin, iters = jax.lax.while_loop(cond, body, (st0, jnp.int32(0)))
-    return finalize_radiance(st_fin, params), iters
+    def make_loop(next_width: Optional[int]):
+        def cond(carry):
+            st_, it_, alive_ = carry
+            go = (it_ < params.max_iters) & (alive_ > 0)
+            if next_width is not None:
+                go = go & (alive_ > next_width)
+            return go
+
+        return cond
+
+    def body_for(pids_):
+        def body(carry):
+            st_, it_, _ = carry
+            u = vrng.counter_uniforms(pids_, stream, it_, 8)
+            st2 = step(st_, u)
+            return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
+
+        return body
+
+    for next_w in widths + [None]:
+        alive = jnp.sum((st.mode != DONE).astype(jnp.int32))
+        st, it, alive = jax.lax.while_loop(
+            make_loop(next_w), body_for(pids), (st, it, alive)
+        )
+        # Scatter current (finalized) radiance for every lane in this stage;
+        # lanes that continue get overwritten by later stages' scatters.
+        out = out.at[idx_map].set(finalize_radiance(st, params))
+        if next_w is None:
+            break
+        # Compact: alive lanes first (stable), truncate to next width.
+        order = jnp.argsort((st.mode == DONE).astype(jnp.int32), stable=True)
+        keep = order[:next_w]
+        st = jax.tree.map(lambda a: a[keep], st)
+        idx_map = idx_map[keep]
+        pids = pids[keep]
+
+    return out, it
 
 
 def trace_rays_diff(
