@@ -1,0 +1,178 @@
+"""Command-line renderer: the TPU-native equivalent of the reference's `vpt`.
+
+Usage (mirrors /root/reference/src/main.cpp:26-30):
+
+    python -m volume_path_tracer_tpu.cli <scene.json> <out.png> [options]
+
+Differences from the reference driver, by design (SURVEY.md section 2.1 item 8):
+the raylib GUI becomes a terminal progress line (same percent/ETA format) plus
+an optional live preview PNG refreshed at wave boundaries; ^C stops gracefully
+at the next wave and SAVES (the reference loses the image on ^C); wave-boundary
+checkpoints make renders resumable.
+
+Volume loading: reads the scene's .nvdb via the built-in NanoVDB parser
+(grids/nvdb.py). `--procedural {donut,sphere,plume}` substitutes an asset-free
+volume (the reference's generate_donut debug path, volume_grids.cpp:35-37).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load_medium(cfg, procedural: str | None):
+    from .models.medium import Medium
+
+    if procedural:
+        from .grids import procedural as proc
+
+        if procedural == "donut":
+            return Medium.from_grids(proc.generate_donut())
+        if procedural == "sphere":
+            return Medium.from_grids(proc.fog_sphere(radius=24.0, falloff=4.0))
+        if procedural == "plume":
+            d, t = proc.fire_plume()
+            return Medium.from_grids(d, t)
+        raise SystemExit(f"unknown procedural volume {procedural!r}")
+
+    if not os.path.exists(cfg.volume_path):
+        raise SystemExit(
+            f"FATAL: volume file {cfg.volume_path!r} not found "
+            f"(use --procedural for an asset-free volume)"
+        )
+    from .grids.nvdb import read_nvdb_medium
+
+    return read_nvdb_medium(cfg.volume_path)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="vpt-tpu", description="TPU-native volumetric path tracer"
+    )
+    ap.add_argument("config", help="scene JSON (reference schema)")
+    ap.add_argument("output", help="output PNG path")
+    ap.add_argument("--waves", type=int, default=None, help="override num_waves")
+    ap.add_argument(
+        "--procedural", choices=["donut", "sphere", "plume"], default=None,
+        help="use a procedural volume instead of the scene's .nvdb",
+    )
+    ap.add_argument("--preview", default=None, metavar="PNG",
+                    help="write a live preview PNG at each wave boundary")
+    ap.add_argument("--checkpoint", default=None, metavar="NPZ",
+                    help="wave-boundary checkpoint file (resumes if present)")
+    ap.add_argument("--chunk-pixels", type=int, default=None,
+                    help="render each wave in pixel chunks of this size")
+    ap.add_argument("--max-iters", type=int, default=8192,
+                    help="wavefront iteration cap per wave")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="shard rays over N devices (default: all if >1)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from .render.renderer import Scene, render_wave_image
+    from .render.waves import (
+        ProgressTracker,
+        StopController,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from .utils.color import film_to_srgb_u8
+    from .utils.config import read_configuration
+    from .io.png import write_png
+
+    cfg = read_configuration(args.config)
+    medium = _load_medium(cfg, args.procedural)
+    scene = Scene.from_config(cfg, medium, max_iters=args.max_iters)
+    num_waves = args.waves if args.waves is not None else cfg.num_waves
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if (args.mesh or n_dev) > 1 and args.mesh != 1:
+        from .parallel.shard import make_mesh
+
+        mesh = make_mesh(args.mesh or n_dev)
+        print(f"[vpt] sharding rays over {dict(mesh.shape)}")
+
+    start_wave = 0
+    film = jnp.zeros((scene.height, scene.width, 4), jnp.float32)
+    if args.checkpoint:
+        ck = load_checkpoint(args.checkpoint)
+        if ck is not None:
+            f0, w0, s0 = ck
+            if s0 == scene.seed and f0.shape == film.shape:
+                film, start_wave = jnp.asarray(f0), w0
+                print(f"[vpt] resumed from wave {w0}")
+            else:
+                print("[vpt] checkpoint mismatch - starting fresh")
+
+    tracker = ProgressTracker(num_waves)
+    tracker.advance(start_wave)
+
+    def save_final(film_now):
+        img = np.asarray(film_to_srgb_u8(film_now))
+        write_png(args.output, img)
+        print(f"\n[vpt] saved {args.output}")
+
+    with StopController() as stop:
+        w = start_wave
+        while w < num_waves:
+            w += 1
+            if mesh is not None:
+                film = _render_wave_sharded(scene, mesh, w, film)
+            else:
+                film = render_wave_image(scene, w, film, args.chunk_pixels)
+            tracker.advance(1)
+            print(f"\r[vpt] {tracker.format()}   ", end="", flush=True)
+            if args.preview:
+                write_png(args.preview, np.asarray(film_to_srgb_u8(film)))
+            if args.checkpoint:
+                save_checkpoint(args.checkpoint, np.asarray(film), w, scene.seed)
+            if stop.stop_at_next_wave:
+                print(f"\n[vpt] stopped at wave boundary {w}")
+                break
+
+    save_final(film)
+    return 0
+
+
+def _bb(scene):
+    from .render.renderer import _bb_table_for
+
+    return _bb_table_for(scene.medium, scene.params)
+
+
+def _render_wave_sharded(scene, mesh, wave, film):
+    import jax.numpy as jnp
+
+    from .parallel.shard import render_wave_sharded
+    from .render.renderer import pixel_coords
+
+    H, W = scene.height, scene.width
+    npix = W * H
+    n_rays_axis = mesh.shape["rays"]
+    pad = (-npix) % n_rays_axis
+    coords = pixel_coords(W, H)
+    pids = np.arange(npix, dtype=np.int32)
+    if pad:
+        coords = np.concatenate([coords, np.zeros((pad, 2), np.int32)])
+        pids = np.concatenate([pids, np.full((pad,), npix - 1, np.int32)])
+    contrib = render_wave_sharded(
+        mesh, scene.medium, scene.params, scene.camera, _bb(scene),
+        jnp.asarray(coords), jnp.asarray(pids), scene.seed, wave,
+        scene.use_jitter,
+    )
+    return film + contrib[:npix].reshape(H, W, 4)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

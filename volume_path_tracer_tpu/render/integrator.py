@@ -67,7 +67,7 @@ CAM = 0
 SHADOW = 1
 DONE = 2
 
-_TINY = jnp.float32(1e-20)
+_TINY = 1e-20  # python float: no device array at import time
 _LOOKAHEAD = 1e-3  # voxel units, mirrors the reference's t+1.0001 re-derive idea
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def wave_key(seed, wave) -> jax.Array:
@@ -71,7 +72,7 @@ def pcg4d(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, d: jnp.ndarray):
 
 # Largest float32 strictly below 1.0 — same clamp as the reference's
 # uniform<float> (random.hpp:100-111: u32 * 2^-32 clamped to 1-eps).
-_ONE_MINUS_EPS = jnp.float32(1.0 - 2.0 ** -24)
+_ONE_MINUS_EPS = float(np.float32(1.0 - 2.0 ** -24))
 
 
 def _u32_to_uniform(v: jnp.ndarray) -> jnp.ndarray:
