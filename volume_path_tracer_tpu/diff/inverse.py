@@ -49,7 +49,14 @@ def param_from_density(d: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     return d + jnp.log(-jnp.expm1(-d))
 
 
-def medium_with_params(base: Medium, grids: OptimizableGrids) -> Medium:
+def medium_with_params(
+    base: Medium, grids: OptimizableGrids, bloat: float = 0.1
+) -> Medium:
+    """Rebuild the medium from optimizable leaves.
+
+    Majorants get `bloat` slack: gradient rendering requires a strictly
+    positive null-collision probability everywhere (see build_majorants).
+    """
     density = dataclasses.replace(
         base.density, data=density_from_param(grids.log_density)
     )
@@ -58,7 +65,7 @@ def medium_with_params(base: Medium, grids: OptimizableGrids) -> Medium:
         temperature = dataclasses.replace(base.temperature, data=grids.temperature)
     return Medium(
         density=density,
-        majorants=build_majorants(density),
+        majorants=build_majorants(density, bloat=bloat),
         temperature=temperature,
     )
 
@@ -70,23 +77,35 @@ def make_render_loss(
     bb_table,
     n_iters: int,
     use_jitter: bool,
+    samples_per_step: int = 4,
 ):
     """loss(grids, raster, pids, target_px, seed_wave) -> (sum_sq, n) per batch.
+
+    Renders `samples_per_step` independent waves of the pixel batch in one
+    flat ray batch and compares the per-pixel *mean* to the target — the MSE
+    of a 1-spp Monte Carlo render is dominated by irreducible sampling
+    variance, so averaging k samples per step cuts the noise floor k-fold and
+    makes the optimization signal visible.
 
     Returns per-batch *sums* so sharded callers can psum before normalizing.
     target_px: [N, 3] target film XYZ (already imaging_ratio-scaled means).
     """
+    k = samples_per_step
 
     def loss_fn(grids: OptimizableGrids, raster, pids, target_px, seed_wave):
         medium = medium_with_params(base_medium, grids)
-        stream = vrng.mix_stream(seed_wave[0], seed_wave[1])
-        u_jit = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
+        N = pids.shape[0]
+        raster_k = jnp.tile(raster, (k, 1))
+        pids_k = jnp.tile(pids, (k,))
+        waves = seed_wave[1] * jnp.uint32(k) + jnp.arange(k, dtype=jnp.uint32)
+        stream_k = jnp.repeat(vrng.mix_stream(seed_wave[0], waves), N)  # [k*N]
+        u_jit = vrng.counter_uniforms(pids_k, stream_k, jnp.int32(2**31 - 1), 2)
         jitter = u_jit * (0.5 if use_jitter else 0.0)
-        o_w, d_w = camera.generate_rays(raster, jitter)
+        o_w, d_w = camera.generate_rays(raster_k, jitter)
         L = trace_rays_diff(
-            medium, params, bb_table, o_w, d_w, pids, stream, n_iters
+            medium, params, bb_table, o_w, d_w, pids_k, stream_k, n_iters
         )
-        px = camera.imaging_ratio * L
+        px = camera.imaging_ratio * jnp.mean(L.reshape(k, N, 3), axis=0)
         sq = jnp.sum((px - target_px) ** 2)
         return sq, jnp.float32(px.size)
 
@@ -102,6 +121,7 @@ def make_train_step(
     n_iters: int = 512,
     use_jitter: bool = True,
     mesh: Optional[Mesh] = None,
+    samples_per_step: int = 4,
 ):
     """Build a jitted train step.
 
@@ -110,7 +130,8 @@ def make_train_step(
     gradients psum'd over both axes inside shard_map.
     """
     loss_fn = make_render_loss(
-        base_medium, params, camera, bb_table, n_iters, use_jitter
+        base_medium, params, camera, bb_table, n_iters, use_jitter,
+        samples_per_step=samples_per_step,
     )
 
     if mesh is None:

@@ -58,12 +58,21 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def build_majorants(grid: DenseGrid, order: int = 1) -> MajorantPyramid:
+def build_majorants(grid: DenseGrid, order: int = 1, bloat: float = 0.0) -> MajorantPyramid:
     """Build the majorant pyramid for a density grid.
 
     order: interpolation stencil halo in voxels (1 for trilinear), as in
     fix_majorants_for_interpolation(density, 1) at volume.cpp:169.
     Jittable; gradients are cut (majorants are bounds, not integrands).
+
+    bloat: multiplicative slack (1 + bloat) applied to nonzero majorants.
+    Forward rendering wants bloat=0 (fewest collisions). *Gradient* rendering
+    needs bloat > 0: where the majorant exactly equals the local density the
+    null-collision probability is 0, escaping paths see no collisions at all,
+    and the score-function gradient estimator degenerates to zero while the
+    true transmittance gradient does not. A strictly positive p_null keeps
+    the gradient measure absolutely continuous (detached-majorant
+    differentiable delta tracking).
     """
     data = jax.lax.stop_gradient(grid.data)
     X, Y, Z = data.shape
@@ -87,6 +96,8 @@ def build_majorants(grid: DenseGrid, order: int = 1) -> MajorantPyramid:
     # Padding lanes contribute -inf; background outside the bbox is 0, and the
     # density field itself is non-negative, so clamp at 0.
     brick = jnp.maximum(brick, 0.0)
+    if bloat:
+        brick = brick * (1.0 + bloat)
 
     sx, sy, sz = _ceil_div(bx, SUPER), _ceil_div(by, SUPER), _ceil_div(bz, SUPER)
     sup = jax.lax.reduce_window(
