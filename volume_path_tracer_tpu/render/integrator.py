@@ -165,12 +165,24 @@ def _cell_exit_t(o, d, cell_lo, cell_hi):
     return jnp.min(jnp.maximum(ta, tb), axis=-1)
 
 
-def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.ndarray]):
+def make_step(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table: Optional[jnp.ndarray],
+    collect_debug: bool = False,
+):
     """Build the single-iteration wavefront step function.
 
     Returns step(state, uniforms [N,8]) -> state. `medium`'s array leaves are
     closed over (they are loop invariants; XLA keeps them in HBM and streams
     gathers), its static transform metadata becomes compile-time constants.
+
+    collect_debug=True makes step return (state, dbg) where dbg is a dict of
+    per-lane arrays describing what happened this iteration (collision flags,
+    density, event kind, DDA cell, segment bounds) — the machinery behind the
+    single-ray tracer / path-event dump (tools/trace.py), instrumenting the
+    REAL production step rather than a parallel reimplementation (the
+    reference's Logger + record_steps hooks, worker.cpp:15-49, volume.hpp:52).
     """
     dgrid = medium.density
     O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
@@ -404,7 +416,7 @@ def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.n
 
         T_ray_out = jnp.where(start_shadow_ok, 1.0, T_ray_new)
 
-        return RayState(
+        st_new = RayState(
             o=o_new,
             d=d_new,
             t=t_new,
@@ -419,6 +431,22 @@ def make_step(medium: Medium, params: IntegratorParams, bb_table: Optional[jnp.n
             T_ray=T_ray_out,
             phase_val=phase_val_new,
         )
+        if not collect_debug:
+            return st_new
+        dbg = dict(
+            active=active, in_cam=in_cam, in_shw=in_shw,
+            cell_lo=cell_lo, cell_sz=cell_sz, use_super=use_super,
+            maj=maj, sigma_maj=sigma_maj,
+            t0=st.t, t_seg_end=t_seg_end, t_cand=t_cand,
+            collide=collide, exited=exited, stepped=stepped,
+            p_col=p_col, rho=rho, zero_col=zero_col,
+            cam_null=cam_null, cam_abs=cam_abs, cam_scat=cam_scat,
+            p_a=p_a, p_s=p_s, p_n=p_n,
+            shw_col=shw_col, T_ray=T_ray_new, shadow_finish=shadow_finish,
+            start_shadow=start_shadow_ok, resume=resume_ok,
+            new_dir=new_dir, becomes_done_inf=becomes_done_inf,
+        )
+        return st_new, dbg
 
     return step
 
