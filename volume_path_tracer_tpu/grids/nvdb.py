@@ -165,17 +165,59 @@ def _parse_grid_blob(blob: bytes, expect_name: str) -> NvdbGrid:
         if np.all(b > a):
             data[a[0] : b[0], a[1] : b[1], a[2] : b[2]] = value
 
-    def parse_leaf(off, origin):
-        vals = np.frombuffer(blob, "<f4", 512, off + _LEAF_HEADER).reshape(8, 8, 8)
-        lo = np.array(origin, np.int64)
-        a = np.maximum(lo - bb_lo, 0)
-        b = np.minimum(lo + 8 - bb_lo, extent)
-        if np.all(b > a):
-            s = a - (lo - bb_lo)
-            e = b - (lo - bb_lo)
-            data[a[0] : b[0], a[1] : b[1], a[2] : b[2]] = vals[
-                s[0] : e[0], s[1] : e[1], s[2] : e[2]
-            ]
+    def bulk_fill_leaves():
+        """Fill all leaves in one pass: NanoVDB stores each node level as a
+        contiguous array (that is what TreeData::mNodeOffset/nodeCount index),
+        and every leaf holds its own origin (mBBoxMin) — no tree walk needed.
+        """
+        n_leaf = node_count[0]
+        if n_leaf == 0:
+            return
+        base = tree + node_off[0]
+        raw = np.frombuffer(
+            blob, np.uint8, n_leaf * _LEAF_SIZE, base
+        ).reshape(n_leaf, _LEAF_SIZE)
+        # mBBoxMin is the leaf's *active* bbox min; the node origin is its
+        # 8-aligned floor (LeafNode::origin() = mBBoxMin & ~MASK).
+        origins = (
+            raw[:, :12].copy().view("<i4").reshape(n_leaf, 3).astype(np.int64) & ~7
+        )
+        values = raw[:, _LEAF_HEADER : _LEAF_HEADER + 2048].copy().view("<f4")
+        values = values.reshape(n_leaf, 8, 8, 8)
+        # Scatter leaf blocks with vectorized fancy indexing, chunked to
+        # bound index-array memory. Leaves are 8-aligned and the active bbox
+        # contains every active voxel, but clip defensively.
+        chunk = 4096
+        offs = np.arange(8)
+        for s in range(0, n_leaf, chunk):
+            e = min(s + chunk, n_leaf)
+            lo = origins[s:e] - bb_lo  # [M,3] local leaf origins
+            ix = lo[:, 0, None] + offs  # [M,8]
+            iy = lo[:, 1, None] + offs
+            iz = lo[:, 2, None] + offs
+            ok = (
+                (ix[:, 0] >= 0) & (ix[:, -1] < extent[0])
+                & (iy[:, 0] >= 0) & (iy[:, -1] < extent[1])
+                & (iz[:, 0] >= 0) & (iz[:, -1] < extent[2])
+            )
+            idx = np.nonzero(ok)[0]
+            if idx.size:
+                data[
+                    ix[idx][:, :, None, None],
+                    iy[idx][:, None, :, None],
+                    iz[idx][:, None, None, :],
+                ] = values[s:e][idx]
+            # partially-clipped leaves (bbox-edge): slow path, rare
+            for m in np.nonzero(~ok)[0]:
+                l0 = origins[s + m] - bb_lo
+                a = np.maximum(l0, 0)
+                b = np.minimum(l0 + 8, extent)
+                if np.all(b > a):
+                    sl = a - l0
+                    el = b - l0
+                    data[a[0] : b[0], a[1] : b[1], a[2] : b[2]] = values[s + m][
+                        sl[0] : el[0], sl[1] : el[1], sl[2] : el[2]
+                    ]
 
     def parse_internal(off, origin, log2dim, child_total, header, parse_child):
         dim = 1 << log2dim  # children per axis
@@ -213,11 +255,13 @@ def _parse_grid_blob(blob: bytes, expect_name: str) -> NvdbGrid:
             parse_child(child_off, corigin)
 
     def parse_lower(off, origin):
-        parse_internal(off, origin, 4, 3, _LOWER_HEADER, parse_leaf)
+        # Leaves are bulk-filled; the walk only extracts constant tiles.
+        parse_internal(off, origin, 4, 3, _LOWER_HEADER, lambda o, org: None)
 
     def parse_upper(off, origin):
         parse_internal(off, origin, 5, 7, _UPPER_HEADER, parse_lower)
 
+    bulk_fill_leaves()
     for t in range(table_size):
         toff = root + _ROOTDATA_SIZE + t * _ROOT_TILE_SIZE
         key, child, state, value = struct.unpack_from("<qqIf", blob, toff)
@@ -373,27 +417,27 @@ def _build_grid_blob(name, data, origin, voxel_size, world_offset, grid_count):
     bb_lo = np.array(origin, np.int64)
     bb_hi = bb_lo + [X - 1, Y - 1, Z - 1]
 
-    # Enumerate leaves (8-aligned blocks overlapping the data).
+    # Enumerate leaves (8-aligned blocks overlapping the data), vectorized:
+    # pad to the 8-aligned bbox, reshape to [bx,8,by,8,bz,8] blocks, keep
+    # nonzero blocks.
     leaf_lo = (bb_lo // 8) * 8
-    upper_lo = (bb_lo // 4096) * 4096
-    # collect nodes bottom-up keyed by origin
+    leaf_hi = ((bb_hi // 8) + 1) * 8  # exclusive, 8-aligned
+    ext = (leaf_hi - leaf_lo).astype(int)
+    padded = np.zeros(tuple(ext), np.float32)
+    s = (bb_lo - leaf_lo).astype(int)
+    padded[s[0] : s[0] + X, s[1] : s[1] + Y, s[2] : s[2] + Z] = data
+    blocks = padded.reshape(
+        ext[0] // 8, 8, ext[1] // 8, 8, ext[2] // 8, 8
+    ).transpose(0, 2, 4, 1, 3, 5)
+    nonzero = blocks.reshape(blocks.shape[:3] + (512,)).any(axis=-1)
     leaves = {}
-    for ix in range(int(leaf_lo[0]), int(bb_hi[0]) + 1, 8):
-        for iy in range(int(leaf_lo[1]), int(bb_hi[1]) + 1, 8):
-            for iz in range(int(leaf_lo[2]), int(bb_hi[2]) + 1, 8):
-                a = np.maximum([ix, iy, iz] - bb_lo, 0)
-                b = np.minimum([ix + 8, iy + 8, iz + 8] - bb_lo, [X, Y, Z])
-                if np.any(b <= a):
-                    continue
-                block = np.zeros((8, 8, 8), np.float32)
-                s = a - ([ix, iy, iz] - bb_lo)
-                e = b - ([ix, iy, iz] - bb_lo)
-                block[s[0]:e[0], s[1]:e[1], s[2]:e[2]] = data[
-                    a[0]:b[0], a[1]:b[1], a[2]:b[2]
-                ]
-                if not np.any(block != 0):
-                    continue
-                leaves[(ix, iy, iz)] = block
+    for bxi, byi, bzi in np.argwhere(nonzero):
+        origin = (
+            int(leaf_lo[0] + 8 * bxi),
+            int(leaf_lo[1] + 8 * byi),
+            int(leaf_lo[2] + 8 * bzi),
+        )
+        leaves[origin] = blocks[bxi, byi, bzi]
 
     lowers = {}
     for (ix, iy, iz) in leaves:

@@ -530,11 +530,13 @@ def trace_rays(
     st0 = init_state(medium, o_world, d_world)
     N = pixel_ids.shape[0]
 
-    # Static compaction schedule: shrink width 8x whenever the tail fits.
+    # Static compaction schedule: halve the width whenever the alive tail
+    # fits (each stage ends when alive <= next width; the argsort compaction
+    # is cheap relative to iterations spent on retired lanes).
     widths = []
     w = N
-    while w > 512 and len(widths) < 4:
-        w = max(512, w // 8)
+    while w > 512 and len(widths) < 8:
+        w = max(512, w // 2)
         widths.append(w)
 
     out = jnp.zeros((N, 3), jnp.float32)
