@@ -177,6 +177,11 @@ def _parse_grid_blob(blob: bytes, expect_name: str) -> NvdbGrid:
         raw = np.frombuffer(
             blob, np.uint8, n_leaf * _LEAF_SIZE, base
         ).reshape(n_leaf, _LEAF_SIZE)
+        # Native fast path (memcpy-rate scatter); numpy fallback below.
+        from . import native as _native
+
+        if _native.fill_leaves(raw, _LEAF_SIZE, data, bb_lo):
+            return
         # mBBoxMin is the leaf's *active* bbox min; the node origin is its
         # 8-aligned floor (LeafNode::origin() = mBBoxMin & ~MASK).
         origins = (
@@ -417,27 +422,34 @@ def _build_grid_blob(name, data, origin, voxel_size, world_offset, grid_count):
     bb_lo = np.array(origin, np.int64)
     bb_hi = bb_lo + [X - 1, Y - 1, Z - 1]
 
-    # Enumerate leaves (8-aligned blocks overlapping the data), vectorized:
-    # pad to the 8-aligned bbox, reshape to [bx,8,by,8,bz,8] blocks, keep
-    # nonzero blocks.
-    leaf_lo = (bb_lo // 8) * 8
-    leaf_hi = ((bb_hi // 8) + 1) * 8  # exclusive, 8-aligned
-    ext = (leaf_hi - leaf_lo).astype(int)
-    padded = np.zeros(tuple(ext), np.float32)
-    s = (bb_lo - leaf_lo).astype(int)
-    padded[s[0] : s[0] + X, s[1] : s[1] + Y, s[2] : s[2] + Z] = data
-    blocks = padded.reshape(
-        ext[0] // 8, 8, ext[1] // 8, 8, ext[2] // 8, 8
-    ).transpose(0, 2, 4, 1, 3, 5)
-    nonzero = blocks.reshape(blocks.shape[:3] + (512,)).any(axis=-1)
+    # Enumerate leaves (nonzero 8-aligned blocks): native core when available,
+    # else vectorized numpy (pad to the 8-aligned bbox, blocked reshape).
+    from . import native as _native
+
     leaves = {}
-    for bxi, byi, bzi in np.argwhere(nonzero):
-        origin = (
-            int(leaf_lo[0] + 8 * bxi),
-            int(leaf_lo[1] + 8 * byi),
-            int(leaf_lo[2] + 8 * bzi),
-        )
-        leaves[origin] = blocks[bxi, byi, bzi]
+    nat = _native.extract_leaves(np.ascontiguousarray(data, np.float32), bb_lo)
+    if nat is not None:
+        origins_arr, values_arr = nat
+        for o, v in zip(origins_arr, values_arr):
+            leaves[(int(o[0]), int(o[1]), int(o[2]))] = v
+    else:
+        leaf_lo = (bb_lo // 8) * 8
+        leaf_hi = ((bb_hi // 8) + 1) * 8  # exclusive, 8-aligned
+        ext = (leaf_hi - leaf_lo).astype(int)
+        padded = np.zeros(tuple(ext), np.float32)
+        s = (bb_lo - leaf_lo).astype(int)
+        padded[s[0] : s[0] + X, s[1] : s[1] + Y, s[2] : s[2] + Z] = data
+        blocks = padded.reshape(
+            ext[0] // 8, 8, ext[1] // 8, 8, ext[2] // 8, 8
+        ).transpose(0, 2, 4, 1, 3, 5)
+        nonzero = blocks.reshape(blocks.shape[:3] + (512,)).any(axis=-1)
+        for bxi, byi, bzi in np.argwhere(nonzero):
+            origin = (
+                int(leaf_lo[0] + 8 * bxi),
+                int(leaf_lo[1] + 8 * byi),
+                int(leaf_lo[2] + 8 * bzi),
+            )
+            leaves[origin] = blocks[bxi, byi, bzi]
 
     lowers = {}
     for (ix, iy, iz) in leaves:
