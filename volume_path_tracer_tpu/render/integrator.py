@@ -173,7 +173,7 @@ def make_step(
 ):
     """Build the single-iteration wavefront step function.
 
-    Returns step(state, uniforms [N,8]) -> state. `medium`'s array leaves are
+    Returns step(state, uniforms [N,4]) -> state. `medium`'s array leaves are
     closed over (they are loop invariants; XLA keeps them in HBM and streams
     gathers), its static transform metadata becomes compile-time constants.
 
@@ -327,7 +327,9 @@ def make_step(
         sigma_n = jnp.maximum(0.0, sigma_maj - sigma_t * rho)  # worker.cpp:68
         T_after = st.T_ray * (sigma_n / sig)
         rr = T_after <= 0.05
-        rr_kill = rr & (u[:, 4] < 0.75)
+        # Slot 1 is shared: camera lanes use it for the event draw, shadow
+        # lanes for Russian roulette - a lane is never in both modes.
+        rr_kill = rr & (u[:, 1] < 0.75)
         T_after = jnp.where(
             rr_kill, 0.0, jnp.where(rr, T_after / 0.25, T_after)
         )  # worker.cpp:73-80
@@ -558,7 +560,7 @@ def trace_rays(
     def body_for(pids_):
         def body(carry):
             st_, it_, _ = carry
-            u = vrng.counter_uniforms(pids_, stream, it_, 8)
+            u = vrng.counter_uniforms(pids_, stream, it_, 4)
             st2 = step(st_, u)
             return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
 
@@ -605,7 +607,7 @@ def trace_rays_diff(
     st0 = init_state(medium, o_world, d_world)
 
     def body(st, it):
-        u = vrng.counter_uniforms(pixel_ids, stream, it, 8)
+        u = vrng.counter_uniforms(pixel_ids, stream, it, 4)
         return step(st, u), None
 
     st_fin, _ = jax.lax.scan(body, st0, jnp.arange(n_iters, dtype=jnp.int32))
