@@ -164,17 +164,13 @@ def pack_corner_rows(data: jnp.ndarray) -> jnp.ndarray:
     return c.reshape(-1, 8)
 
 
-def sample_trilinear_rows(
-    rows: jnp.ndarray, shape, p: jnp.ndarray
-) -> jnp.ndarray:
-    """Trilinear sample from a corner-packed table at local coords p [..., 3].
+def corner_row_index(shape, i0: jnp.ndarray):
+    """(row index, validity) of base coord i0 [..., 3] in a corner-packed table.
 
-    Bitwise-equivalent semantics to sample_trilinear_local (zero background
-    outside the volume) for any query point; one row-8 gather per sample.
+    Rows cover base coords -1..dim-1 per axis; out-of-range coords clamp (the
+    caller masks with `valid`).
     """
     X, Y, Z = shape
-    i0 = jnp.floor(p).astype(jnp.int32)
-    f = p - i0.astype(p.dtype)
     valid = (
         (i0[..., 0] >= -1) & (i0[..., 0] <= X - 1)
         & (i0[..., 1] >= -1) & (i0[..., 1] <= Y - 1)
@@ -182,16 +178,38 @@ def sample_trilinear_rows(
     )
     r = jnp.clip(i0 + 1, 0, jnp.asarray([X, Y, Z], jnp.int32))
     base = (r[..., 0] * (Y + 1) + r[..., 1]) * (Z + 1) + r[..., 2]
-    v = jnp.take(rows, base, axis=0, mode="clip")  # [..., 8]
+    return base, valid
+
+
+def trilinear_weights(f: jnp.ndarray) -> jnp.ndarray:
+    """The 8 corner weights [..., 8] for fractional coords f [..., 3], in the
+    same corner order as pack_corner_rows (z fastest)."""
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
-    w = jnp.stack(
+    return jnp.stack(
         [
             gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
             fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz,
         ],
         axis=-1,
     )
+
+
+def sample_trilinear_rows(
+    rows: jnp.ndarray, shape, p: jnp.ndarray
+) -> jnp.ndarray:
+    """Trilinear sample from a corner-packed table at local coords p [..., 3].
+
+    Bitwise-equivalent semantics to sample_trilinear_local (zero background
+    outside the volume) for any query point; one row gather per sample. Rows
+    wider than 8 (fused tables carrying extra per-voxel data) are allowed —
+    only the first 8 columns (the corners) are used.
+    """
+    i0 = jnp.floor(p).astype(jnp.int32)
+    f = p - i0.astype(p.dtype)
+    base, valid = corner_row_index(shape, i0)
+    v = jnp.take(rows, base, axis=0, mode="clip")[..., :8]
+    w = trilinear_weights(f)
     return jnp.where(valid, jnp.sum(v * w, axis=-1), 0.0)
 
 

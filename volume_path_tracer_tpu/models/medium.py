@@ -24,6 +24,28 @@ from ..grids.grid import DenseGrid, pack_corner_rows
 from ..grids.majorant import MajorantPyramid, build_majorants
 from ..utils.config import VolumeParameters
 
+import jax
+import jax.numpy as jnp
+
+
+def pack_fused_rows(data: jnp.ndarray, pyr: MajorantPyramid) -> jnp.ndarray:
+    """The integrator's hot-path table: [(X+1)(Y+1)(Z+1) + NB, 8].
+
+    The trilinear corner rows (grid.pack_corner_rows, differentiable) followed
+    by the per-brick majorant rows (brick majorant, superbrick majorant,
+    zero-padded; stop-gradient). One table so the traversal loop's single
+    data-dependent row gather serves both lane kinds — corners at row
+    corner_row_index(voxel) for collision lanes, majorants at row
+    R_corners + brick_flat for segment-crossing lanes. TPU gather cost is per
+    ROW for widths up to 32 bytes (measured on v5e: row-1..row-8 f32 all
+    ~1.0-1.1 ms per 64Ki gathers; 40+ byte rows cost ~1.5x), so fusing the two
+    fetches into one gather halves the loop's dominant cost.
+    """
+    corners = pack_corner_rows(data)  # [(X+1)(Y+1)(Z+1), 8]
+    maj = jax.lax.stop_gradient(pyr.rows)  # [NB, 2]
+    majp = jnp.pad(maj, ((0, 0), (0, corners.shape[1] - maj.shape[1])))
+    return jnp.concatenate([corners, majp], axis=0)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -31,13 +53,15 @@ class Medium:
     density: DenseGrid
     majorants: MajorantPyramid
     temperature: Optional[DenseGrid] = None
-    # Corner-packed trilinear tables ([X*Y*Z, 8], see grid.pack_corner_rows):
-    # the integrator's hot-path layout (one row-8 gather per sample instead of
-    # eight strided element gathers — ~13x faster on TPU). Optional: None
-    # falls back to the generic gather path (large volumes where 8x memory is
-    # too much). Differentiable: rebuilt from the raw grids by pad/stack ops.
+    # Fused per-voxel rows ([(X+1)(Y+1)(Z+1), 16], see pack_fused_rows): the
+    # integrator's hot-path layout — one row gather per wavefront iteration
+    # fetches the 8 trilinear corners AND the brick/superbrick majorants.
+    # Optional: None falls back to the generic gather paths (large volumes
+    # where the 16x memory overhead is too much, and gradient renders, which
+    # re-trace from the raw grid). Corner columns stay differentiable (built
+    # by pad/stack ops from the raw grid); majorant columns are stop-gradient.
     density_rows: Optional[jnp.ndarray] = None
-    temperature_rows: Optional[jnp.ndarray] = None
+    temperature_rows: Optional[jnp.ndarray] = None  # [(...), 8] corner rows
 
     @property
     def has_temperature(self) -> bool:
@@ -51,11 +75,12 @@ class Medium:
         pack: bool = True,
     ) -> "Medium":
         """Build a medium, computing majorants (Volume ctor, volume.cpp:162-170)."""
+        majorants = build_majorants(density, order=order)
         return Medium(
             density=density,
-            majorants=build_majorants(density, order=order),
+            majorants=majorants,
             temperature=temperature,
-            density_rows=pack_corner_rows(density.data) if pack else None,
+            density_rows=pack_fused_rows(density.data, majorants) if pack else None,
             temperature_rows=(
                 pack_corner_rows(temperature.data)
                 if (pack and temperature is not None)
@@ -65,12 +90,13 @@ class Medium:
 
     def with_density(self, density: DenseGrid) -> "Medium":
         """Replace density and rebuild majorants (inverse-rendering update path)."""
+        majorants = build_majorants(density)
         return Medium(
             density=density,
-            majorants=build_majorants(density),
+            majorants=majorants,
             temperature=self.temperature,
             density_rows=(
-                pack_corner_rows(density.data)
+                pack_fused_rows(density.data, majorants)
                 if self.density_rows is not None
                 else None
             ),

@@ -52,9 +52,11 @@ import jax.numpy as jnp
 
 from ..grids.grid import (
     DenseGrid,
+    corner_row_index,
     gather_voxels,
     sample_trilinear_local,
     sample_trilinear_rows,
+    trilinear_weights,
 )
 from ..grids.majorant import BRICK, SUPER
 from ..models.medium import Medium
@@ -126,6 +128,8 @@ class RayState(NamedTuple):
     d: jnp.ndarray  # [N,3] unit direction (== world direction, uniform scale)
     t: jnp.ndarray  # [N] current parameter, voxel units
     t_exit: jnp.ndarray  # [N] bbox exit parameter of the current ray
+    sig_seg: jnp.ndarray  # [N] world-unit majorant sigma of the current segment
+    t_seg: jnp.ndarray  # [N] segment end (voxel units); t_seg <= t = no segment
     L: jnp.ndarray  # [N,3] accumulated XYZ radiance
     wscore: jnp.ndarray  # [N] attached/detached score factor (== 1.0 in value)
     depth: jnp.ndarray  # [N] int32 path depth (reference semantics: +2/scatter)
@@ -208,11 +212,7 @@ def make_step(
 
     maj_rows = medium.majorants.rows  # [NB, 2]: (brick, super) per brick
     BX, BY, BZ = medium.majorants.brick_maj.shape
-
-    def _sample_density(p_local):
-        if medium.density_rows is not None:
-            return sample_trilinear_rows(medium.density_rows, dgrid.shape, p_local)
-        return sample_trilinear_local(dgrid.data, p_local)
+    fused = medium.density_rows  # [(X+1)(Y+1)(Z+1), 16] or None
 
     def step(st: RayState, u: jnp.ndarray) -> RayState:
         N = st.t.shape[0]
@@ -220,50 +220,82 @@ def make_step(
         in_cam = st.mode == CAM
         in_shw = st.mode == SHADOW
 
-        # ---- DDA: find the current cell (brick or empty superbrick) ----
-        p_look = st.o + st.d * (st.t + _LOOKAHEAD)[:, None]
-        lp = p_look - O  # local (grid-relative) float coords
+        # ---- free flight within the CARRIED segment (sampler.cpp:44-45) ----
+        # The segment's majorant sigma (world units) and end live in the state,
+        # written by the previous iteration's crossing. A lane with no valid
+        # segment (t_seg <= t: fresh ray or just-redirected path) falls through
+        # to the crossing branch, which fetches its first segment.
+        has_seg = st.t_seg > st.t
+        sig = jnp.maximum(st.sig_seg, _TINY)
+        dt_w = vrng.sample_exponential(u[:, 0], sig)
+        t_cand = st.t + dt_w / voxel
+        collide = active & has_seg & (st.sig_seg > 0.0) & (t_cand < st.t_seg)
+
+        # Crossing lanes: no segment yet, empty segment, or flew past its end.
+        cross = active & (~collide)
+        t_next = jnp.where(has_seg, st.t_seg, st.t)  # next segment start
+        exited = cross & (t_next >= st.t_exit - 1e-6)
+        fetch = cross & (~exited)
+        stepped = fetch  # debug-channel alias (advance to segment boundary)
+
+        # ---- THE gather: one row per lane per iteration ----
+        # Colliding lanes gather at the collision point (the trilinear corner
+        # row of the containing voxel); crossing lanes gather at the lookahead
+        # into the next cell (the majorant row of its brick, stored after the
+        # corner rows in the same fused table). The per-lane row INDEX is
+        # data-dependent, but it is one gather either way — and the gather is
+        # the loop's dominant cost on TPU.
+        t_gather = jnp.where(collide, t_cand, t_next + _LOOKAHEAD)
+        p_col = st.o + st.d * t_gather[:, None]
+        lp = p_col - O  # local (grid-relative) float coords
+        # Brick coords of the (crossing-lane) lookahead point.
         bb = jnp.floor(lp / BRICK).astype(jnp.int32)
-        sb = jnp.floor(lp / (BRICK * SUPER)).astype(jnp.int32)
-        # One row-2 gather yields (brick majorant, superbrick majorant).
         bi, bj, bk = bb[:, 0], bb[:, 1], bb[:, 2]
         b_valid = (
-            (bi >= 0) & (bi < BX) & (bj >= 0) & (bj < BY) & (bk >= 0) & (bk < BZ)
+            (bi >= 0) & (bi < BX) & (bj >= 0) & (bj < BY)
+            & (bk >= 0) & (bk < BZ)
         )
-        b_flat = (jnp.clip(bi, 0, BX - 1) * BY + jnp.clip(bj, 0, BY - 1)) * BZ + jnp.clip(bk, 0, BZ - 1)
-        both = jnp.take(maj_rows, b_flat, axis=0, mode="clip")
-        bmaj = jnp.where(b_valid, both[:, 0], 0.0)
-        smaj = jnp.where(b_valid, both[:, 1], 0.0)
+        b_flat = (
+            jnp.clip(bi, 0, BX - 1) * BY + jnp.clip(bj, 0, BY - 1)
+        ) * BZ + jnp.clip(bk, 0, BZ - 1)
+        if fused is not None:
+            X, Y, Z = dgrid.shape
+            n_corner_rows = (X + 1) * (Y + 1) * (Z + 1)
+            i0 = jnp.floor(lp).astype(jnp.int32)
+            f = lp - i0.astype(lp.dtype)
+            base, valid = corner_row_index(dgrid.shape, i0)
+            idx = jnp.where(collide, base, n_corner_rows + b_flat)
+            row = jnp.take(fused, idx, axis=0, mode="clip")  # [N, 8]
+            w8 = trilinear_weights(f)
+            # Corner payload (meaningful on collide lanes only):
+            rho = jnp.where(valid, jnp.sum(row[:, :8] * w8, axis=-1), 0.0)
+            # Majorant payload (meaningful on crossing lanes only):
+            bmaj = jnp.where(b_valid, row[:, 0], 0.0)
+            smaj = jnp.where(b_valid, row[:, 1], 0.0)
+        else:
+            # Fallback (no fused table): two gathers, same control flow.
+            rho = sample_trilinear_local(dgrid.data, lp)
+            both = jnp.take(maj_rows, b_flat, axis=0, mode="clip")
+            bmaj = jnp.where(b_valid, both[:, 0], 0.0)
+            smaj = jnp.where(b_valid, both[:, 1], 0.0)
+
+        # ---- crossing lanes: derive the next segment (brick DDA advance) ----
         # If the whole superbrick is empty, step over it in one go.
         use_super = smaj <= 0.0
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
-        cell_idx = jnp.where(use_super[:, None], sb, bb).astype(jnp.float32)
-        cell_lo = cell_idx * cell_sz[:, None] + O
+        cell_lo = jnp.floor(lp / cell_sz[:, None]) * cell_sz[:, None] + O
         cell_hi = cell_lo + cell_sz[:, None]
         t_cell = _cell_exit_t(st.o, st.d, cell_lo, cell_hi)
-        t_seg_end = jnp.minimum(t_cell, st.t_exit)
+        t_seg_f = jnp.minimum(t_cell, st.t_exit)
         # Guaranteed forward progress even on degenerate geometry.
-        t_seg_end = jnp.maximum(t_seg_end, st.t + 2 * _LOOKAHEAD)
+        t_seg_f = jnp.maximum(t_seg_f, t_next + 2 * _LOOKAHEAD)
+        sig_seg_f = jnp.where(use_super, 0.0, bmaj) * sigma_t  # sampler.cpp:41
+        sigma_maj = st.sig_seg  # world-space majorant of the CURRENT segment
 
-        maj = jnp.where(use_super, 0.0, bmaj)
-        sigma_maj = maj * sigma_t  # world-space majorant (sampler.cpp:41)
-        empty = sigma_maj <= 0.0
-
-        # ---- free flight (sampler.cpp:44-45): dt in world units ----
-        dt_w = vrng.sample_exponential(u[:, 0], jnp.maximum(sigma_maj, _TINY))
-        t_cand = st.t + dt_w / voxel
-        collide = active & (~empty) & (t_cand < t_seg_end)
-        exited = active & (~collide) & (t_seg_end >= st.t_exit - 1e-6)
-        stepped = active & (~collide) & (~exited)
-
-        # ---- collision point and density ----
-        p_col = st.o + st.d * t_cand[:, None]
-        rho = _sample_density(p_col - O)
+        # ---- collision classification ----
         rho_pos = rho > 0.0
         real_col = collide & rho_pos
         zero_col = collide & (~rho_pos)  # sampler.cpp:60-61: silently advance
-
-        sig = jnp.maximum(sigma_maj, _TINY)
 
         # =========== CAMERA-mode collision handling ===========
         cam_col = in_cam & real_col
@@ -411,10 +443,20 @@ def make_step(
         t_new = jnp.where(miss_resume_ok, t0p, t_new)
         t_exit_new = jnp.where(miss_resume_ok, t1p, t_exit_new)
 
-        # Plain tracking advances (no mode change).
+        # Plain tracking advances (no mode change, segment unchanged).
         plain_adv = (cam_null | zero_col | (in_shw & real_col & ~shadow_finish))
         t_new = jnp.where(plain_adv, t_cand, t_new)
-        t_new = jnp.where(stepped, t_seg_end, t_new)
+        t_new = jnp.where(fetch, t_next, t_new)
+
+        # ---- carried segment update ----
+        # fetch lanes install the freshly-derived segment; lanes that start a
+        # new ray this iteration (shadow start / camera resume) invalidate it
+        # (t_seg = t marks "no segment" -> next iteration fetches).
+        new_ray = start_shadow_ok | resume_ok | miss_resume_ok
+        sig_seg_new = jnp.where(fetch, sig_seg_f, st.sig_seg)
+        sig_seg_new = jnp.where(new_ray, 0.0, sig_seg_new)
+        t_seg_new = jnp.where(fetch, t_seg_f, st.t_seg)
+        t_seg_new = jnp.where(new_ray, t_new, t_seg_new)
 
         T_ray_out = jnp.where(start_shadow_ok, 1.0, T_ray_new)
 
@@ -423,6 +465,8 @@ def make_step(
             d=d_new,
             t=t_new,
             t_exit=t_exit_new,
+            sig_seg=sig_seg_new,
+            t_seg=t_seg_new,
             L=L_new,
             wscore=wscore_new,
             depth=depth_new,
@@ -438,8 +482,10 @@ def make_step(
         dbg = dict(
             active=active, in_cam=in_cam, in_shw=in_shw,
             cell_lo=cell_lo, cell_sz=cell_sz, use_super=use_super,
-            maj=maj, sigma_maj=sigma_maj,
-            t0=st.t, t_seg_end=t_seg_end, t_cand=t_cand,
+            maj=sigma_maj / sigma_t if sigma_t else sigma_maj,
+            sigma_maj=sigma_maj,
+            t0=st.t, t_seg_end=jnp.where(fetch, t_seg_f, st.t_seg),
+            t_cand=t_cand, fetch=fetch,
             collide=collide, exited=exited, stepped=stepped,
             p_col=p_col, rho=rho, zero_col=zero_col,
             cam_null=cam_null, cam_abs=cam_abs, cam_scat=cam_scat,
@@ -472,11 +518,14 @@ def init_state(
     d_idx = d_world  # unit under uniform scale
     t0, t1, hit = clip_ray(o_idx, d_idx, O, O + shape)
     zeros = jnp.zeros((N,), jnp.float32)
+    t_init = jnp.where(hit, t0, 0.0)
     return RayState(
         o=o_idx,
         d=d_idx,
-        t=jnp.where(hit, t0, 0.0),
+        t=t_init,
         t_exit=jnp.where(hit, t1, 0.0),
+        sig_seg=jnp.zeros((N,), jnp.float32),
+        t_seg=t_init,  # no segment yet: first iteration fetches it
         L=jnp.zeros((N, 3), jnp.float32),
         wscore=jnp.ones((N,), jnp.float32),
         depth=jnp.zeros((N,), jnp.int32),
