@@ -25,6 +25,17 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the staged-compaction render program is
+    # large (one while_loop per compaction stage); caching keeps repeat runs
+    # of this benchmark from paying the multi-minute cold compile when the
+    # host is under load.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from volume_path_tracer_tpu.grids.procedural import fog_sphere
