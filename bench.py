@@ -85,21 +85,21 @@ def main():
         stream = vrng.mix_stream(seed_wave[0], seed_wave[1])
         u_jit = vrng.counter_uniforms(pids_, stream, jnp.int32(2**31 - 1), 2)
         o_w, d_w = camera_.generate_rays(raster_, u_jit * 0.5)
-        L, iters = trace_rays(medium_, params, None, o_w, d_w, pids_, stream)
-        return camera_.imaging_ratio * L, iters
+        L, iters, n_capped = trace_rays(medium_, params, None, o_w, d_w, pids_, stream)
+        return camera_.imaging_ratio * L, iters, n_capped
 
     wave_jit = jax.jit(wave_fn)
 
     # Warmup / compile.
     sw = jnp.asarray([10, 0], jnp.uint32)
-    out, _ = wave_jit(medium, camera, raster, pids, sw)
+    out, _, _ = wave_jit(medium, camera, raster, pids, sw)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     acc = None
     for wave in range(1, SPP + 1):
         sw = jnp.asarray([10, wave], jnp.uint32)
-        L, _ = wave_jit(medium, camera, raster, pids, sw)
+        L, _, _ = wave_jit(medium, camera, raster, pids, sw)
         acc = L if acc is None else acc + L
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0

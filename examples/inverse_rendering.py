@@ -84,7 +84,7 @@ def main():
             stream = vrng.mix_stream(seed, 500 + w)
             u = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
             o_w, d_w = cam.generate_rays(raster, u * 0.5)
-            L, _ = trace_rays(medium, params, None, o_w, d_w, pids, stream)
+            L, _, _ = trace_rays(medium, params, None, o_w, d_w, pids, stream)
             acc = acc + L
         return acc / waves
 

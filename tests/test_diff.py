@@ -153,7 +153,7 @@ class TestInverseRendering:
             stream = vrng.mix_stream(9, 100 + w)
             u = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
             o_w, d_w = camera.generate_rays(raster, u * 0.5)
-            L, _ = trace_rays(med_target, params, None, o_w, d_w, pids, stream)
+            L, _, _ = trace_rays(med_target, params, None, o_w, d_w, pids, stream)
             target_px = target_px + L
         target_px = target_px / n_target_waves
 

@@ -31,7 +31,7 @@ def _render_mean(medium, camera, params, W, H, waves, bb=None, seed=10):
         stream = vrng.mix_stream(seed, w)
         u = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
         o_w, d_w = camera.generate_rays(raster, u * 0.5)
-        L, _ = trace_rays(medium, params, bb, o_w, d_w, pids, stream)
+        L, _, _ = trace_rays(medium, params, bb, o_w, d_w, pids, stream)
         acc = acc + L
     return np.asarray(acc / waves).reshape(H, W, 3)
 

@@ -42,7 +42,7 @@ def _single_device_wave(medium, camera, params, raster, pids, seed, global_wave)
     stream = vrng.mix_stream(seed, global_wave)
     u = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
     o_w, d_w = camera.generate_rays(raster, u * 0.5)
-    L, _ = trace_rays(medium, params, None, o_w, d_w, pids, stream)
+    L, _, _ = trace_rays(medium, params, None, o_w, d_w, pids, stream)
     return jnp.concatenate(
         [camera.imaging_ratio * L, jnp.ones((L.shape[0], 1), jnp.float32)], -1
     )
@@ -59,9 +59,10 @@ class TestShardInvariance:
         pids = jnp.arange(W * H, dtype=jnp.int32)
 
         mesh = make_mesh(8, spp=1)
-        sharded = render_wave_sharded(
+        sharded, n_capped = render_wave_sharded(
             mesh, medium, params, camera, None, raster, pids, 7, 3, True
         )
+        assert int(n_capped) == 0
         single = _single_device_wave(medium, camera, params, raster, pids, 7, 3)
         np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
 
@@ -72,7 +73,7 @@ class TestShardInvariance:
         pids = jnp.arange(W * H, dtype=jnp.int32)
 
         mesh = make_mesh(8, spp=4)  # rays=2, spp=4: wave w covers waves 4w..4w+3
-        sharded = render_wave_sharded(
+        sharded, _ = render_wave_sharded(
             mesh, medium, params, camera, None, raster, pids, 7, 1, True
         )
         seq = sum(
@@ -88,10 +89,10 @@ class TestShardInvariance:
         ys, xs = np.mgrid[0:H, 0:W]
         raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
         pids = jnp.arange(W * H, dtype=jnp.int32)
-        a = render_wave_sharded(
+        a, _ = render_wave_sharded(
             make_mesh(8, spp=1), medium, params, camera, None, raster, pids, 7, 5, True
         )
-        b = render_wave_sharded(
+        b, _ = render_wave_sharded(
             make_mesh(4, spp=1), medium, params, camera, None, raster, pids, 7, 5, True
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -75,7 +75,7 @@ class TestTraces:
         assert kinds[0] == "new_ray" and kinds[-1] == "radiance"
         assert any(k in ("sampled_point", "escaped") for k in kinds)
         # the debug-instrumented trace must reproduce the production result
-        L, _ = trace_rays(
+        L, _, _ = trace_rays(
             med, params, None, jnp.asarray([o]), jnp.asarray([d]),
             jnp.asarray([5], jnp.int32), vrng.mix_stream(3, 1),
         )

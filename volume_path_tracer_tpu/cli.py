@@ -154,23 +154,21 @@ def _bb(scene):
 def _render_wave_sharded(scene, mesh, wave, film):
     import jax.numpy as jnp
 
-    from .parallel.shard import render_wave_sharded
-    from .render.renderer import pixel_coords
+    from .parallel.shard import pad_ray_batch, render_wave_sharded
 
     H, W = scene.height, scene.width
-    npix = W * H
-    n_rays_axis = mesh.shape["rays"]
-    pad = (-npix) % n_rays_axis
-    coords = pixel_coords(W, H)
-    pids = np.arange(npix, dtype=np.int32)
-    if pad:
-        coords = np.concatenate([coords, np.zeros((pad, 2), np.int32)])
-        pids = np.concatenate([pids, np.full((pad,), npix - 1, np.int32)])
-    contrib = render_wave_sharded(
+    coords, pids, npix = pad_ray_batch(W, H, mesh.shape["rays"])
+    contrib, n_capped = render_wave_sharded(
         mesh, scene.medium, scene.params, scene.camera, _bb(scene),
         jnp.asarray(coords), jnp.asarray(pids), scene.seed, wave,
         scene.use_jitter,
     )
+    ncap = int(n_capped)
+    if ncap:
+        print(
+            f"\n[vpt] WARNING: wave {wave}: {ncap} rays truncated at the "
+            f"iteration cap (max_iters={scene.params.max_iters})"
+        )
     return film + contrib[:npix].reshape(H, W, 4)
 
 

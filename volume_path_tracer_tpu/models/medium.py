@@ -19,13 +19,11 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..grids.grid import DenseGrid, pack_corner_rows
 from ..grids.majorant import MajorantPyramid, build_majorants
 from ..utils.config import VolumeParameters
-
-import jax
-import jax.numpy as jnp
 
 
 def pack_fused_rows(data: jnp.ndarray, pyr: MajorantPyramid) -> jnp.ndarray:
@@ -53,13 +51,14 @@ class Medium:
     density: DenseGrid
     majorants: MajorantPyramid
     temperature: Optional[DenseGrid] = None
-    # Fused per-voxel rows ([(X+1)(Y+1)(Z+1), 16], see pack_fused_rows): the
-    # integrator's hot-path layout — one row gather per wavefront iteration
-    # fetches the 8 trilinear corners AND the brick/superbrick majorants.
-    # Optional: None falls back to the generic gather paths (large volumes
-    # where the 16x memory overhead is too much, and gradient renders, which
-    # re-trace from the raw grid). Corner columns stay differentiable (built
-    # by pad/stack ops from the raw grid); majorant columns are stop-gradient.
+    # Fused per-voxel rows ([(X+1)(Y+1)(Z+1) + NB, 8], see pack_fused_rows):
+    # the integrator's hot-path layout — one row gather per wavefront
+    # iteration fetches the 8 trilinear corners (rows < R_corners) OR the
+    # brick/superbrick majorants (rows >= R_corners). Optional: None falls
+    # back to the generic gather paths (large volumes where the ~8x memory
+    # overhead is too much, and gradient renders, which re-trace from the raw
+    # grid). Corner columns stay differentiable (built by pad/stack ops from
+    # the raw grid); majorant columns are stop-gradient.
     density_rows: Optional[jnp.ndarray] = None
     temperature_rows: Optional[jnp.ndarray] = None  # [(...), 8] corner rows
 

@@ -46,6 +46,23 @@ def make_mesh(n_devices: Optional[int] = None, spp: int = 1, devices=None) -> Me
     return Mesh(arr, ("rays", "spp"))
 
 
+def pad_ray_batch(width: int, height: int, n_align: int):
+    """Row-major pixel (coords, ids, npix) padded to a multiple of n_align.
+
+    Padding lanes reuse a dummy coordinate and the out-of-image pixel id
+    `npix`; their contributions are sliced off by the caller ([:npix]).
+    """
+    npix = width * height
+    pad = (-npix) % n_align
+    ys, xs = np.mgrid[0:height, 0:width]
+    raster = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
+    pids = np.arange(npix, dtype=np.int32)
+    if pad:
+        raster = np.concatenate([raster, np.zeros((pad, 2), np.int32)])
+        pids = np.concatenate([pids, np.full((pad,), npix, np.int32)])
+    return raster, pids, npix
+
+
 def render_wave_sharded(
     mesh: Mesh,
     medium: Medium,
@@ -58,11 +75,12 @@ def render_wave_sharded(
     wave,
     use_jitter: bool,
 ):
-    """One sharded wave: returns per-pixel film contribution [N, 4].
+    """One sharded wave: returns (film contribution [N, 4], n_capped []).
 
     Each ('rays', 'spp') device renders its pixel shard at global wave index
     wave * spp_size + spp_index, then contributions are psum'd over 'spp' —
-    one call therefore adds spp_size samples to every pixel.
+    one call therefore adds spp_size samples to every pixel. n_capped is the
+    global (all-shards) count of rays truncated at the iteration cap.
     """
     spp_size = mesh.shape["spp"]
     seed_wave = jnp.asarray([seed, wave], jnp.uint32)
@@ -71,7 +89,7 @@ def render_wave_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P("rays", None), P("rays"), P()),
-        out_specs=P("rays", None),
+        out_specs=(P("rays", None), P()),
         check_vma=False,
     )
     def shard_fn(medium_, camera_, raster, pids, seed_wave_):
@@ -81,12 +99,15 @@ def render_wave_sharded(
         u_jit = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
         jitter = u_jit * (0.5 if use_jitter else 0.0)
         o_w, d_w = camera_.generate_rays(raster, jitter)
-        L, _ = trace_rays(medium_, params, bb_table, o_w, d_w, pids, stream)
+        L, _, ncap = trace_rays(medium_, params, bb_table, o_w, d_w, pids, stream)
         contrib = jnp.concatenate(
             [camera_.imaging_ratio * L, jnp.ones((L.shape[0], 1), jnp.float32)],
             axis=-1,
         )
-        return jax.lax.psum(contrib, "spp")
+        return (
+            jax.lax.psum(contrib, "spp"),
+            jax.lax.psum(ncap, ("rays", "spp")),
+        )
 
     return shard_fn(medium, camera, raster_xy, pixel_ids, seed_wave)
 
@@ -111,27 +132,20 @@ def render_film_sharded(
     """
     n_rays_axis = mesh.shape["rays"]
     spp_size = mesh.shape["spp"]
-    npix = width * height
-    pad = (-npix) % n_rays_axis
-    ys, xs = np.mgrid[0:height, 0:width]
-    raster = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
-    pids = np.arange(npix, dtype=np.int32)
-    if pad:
-        raster = np.concatenate([raster, np.zeros((pad, 2), np.int32)])
-        pids = np.concatenate([pids, np.full((pad,), npix, np.int32)])
+    raster, pids, npix = pad_ray_batch(width, height, n_rays_axis)
 
     ray_sharding = NamedSharding(mesh, P("rays"))
     raster_j = jax.device_put(jnp.asarray(raster), NamedSharding(mesh, P("rays", None)))
     pids_j = jax.device_put(jnp.asarray(pids), ray_sharding)
 
-    film_flat = jnp.zeros((npix + pad, 4), jnp.float32)
+    film_flat = jnp.zeros((raster.shape[0], 4), jnp.float32)
     jit_render = jax.jit(
         render_wave_sharded,
         static_argnames=("mesh", "params", "use_jitter"),
     )
     for w0 in range(0, num_waves, spp_size):
         wave = 1 + w0 // spp_size
-        contrib = jit_render(
+        contrib, _ = jit_render(
             mesh, medium, params, camera, bb_table, raster_j, pids_j,
             seed, wave, use_jitter,
         )

@@ -139,6 +139,7 @@ class RayState(NamedTuple):
     pend_d: jnp.ndarray  # [N,3] camera-resume direction (HG sample)
     T_ray: jnp.ndarray  # [N] shadow-ray ratio-tracking transmittance
     phase_val: jnp.ndarray  # [N] HG(w . wi) recorded at scatter time
+    ctr: jnp.ndarray  # [N] int32 per-lane RNG draw counter (+1 per step)
 
 
 def _safe_inv(d: jnp.ndarray) -> jnp.ndarray:
@@ -476,6 +477,7 @@ def make_step(
             pend_d=pend_d_new,
             T_ray=T_ray_out,
             phase_val=phase_val_new,
+            ctr=st.ctr + 1,
         )
         if not collect_debug:
             return st_new
@@ -500,15 +502,19 @@ def make_step(
 
 
 def init_state(
-    medium: Medium, o_world: jnp.ndarray, d_world: jnp.ndarray
+    medium: Medium,
+    o_world: jnp.ndarray,
+    d_world: jnp.ndarray,
+    params: IntegratorParams,
 ) -> RayState:
     """World rays -> initial wavefront state (Volume::intersect semantics).
 
-    Rays that miss the index bbox start in DONE mode but *unterminated* —
-    they still collect the infinite light, matching the reference where a
+    Rays that miss the index bbox retire immediately (DONE, unterminated) and
+    collect the infinite light right here, matching the reference where a
     missing intersection breaks the depth loop without setting `terminated`
-    (worker.cpp:133-134, 197-200). The infinite-light add for missing rays
-    happens in finalize_radiance.
+    and the escaping ray picks up the ambient light (worker.cpp:133-134,
+    197-200). Adding it at init (rather than in a finalize pass keyed on a
+    t_exit sentinel) keeps every DONE lane's radiance final at all times.
     """
     dgrid = medium.density
     N = o_world.shape[0]
@@ -519,6 +525,11 @@ def init_state(
     t0, t1, hit = clip_ray(o_idx, d_idx, O, O + shape)
     zeros = jnp.zeros((N,), jnp.float32)
     t_init = jnp.where(hit, t0, 0.0)
+    L_inf = (
+        jnp.asarray(params.infinite_xyz, dtype=jnp.float32)
+        * params.infinite_multiplier
+    )
+    L0 = jnp.where(hit[:, None], 0.0, L_inf[None, :] * jnp.ones((N, 1), jnp.float32))
     return RayState(
         o=o_idx,
         d=d_idx,
@@ -526,7 +537,7 @@ def init_state(
         t_exit=jnp.where(hit, t1, 0.0),
         sig_seg=jnp.zeros((N,), jnp.float32),
         t_seg=t_init,  # no segment yet: first iteration fetches it
-        L=jnp.zeros((N, 3), jnp.float32),
+        L=L0,
         wscore=jnp.ones((N,), jnp.float32),
         depth=jnp.zeros((N,), jnp.int32),
         mode=jnp.where(hit, CAM, DONE).astype(jnp.int32),
@@ -535,24 +546,29 @@ def init_state(
         pend_d=d_idx,
         T_ray=jnp.ones((N,), jnp.float32),
         phase_val=zeros,
+        ctr=jnp.zeros((N,), jnp.int32),
     )
 
 
 def finalize_radiance(st: RayState, params: IntegratorParams) -> jnp.ndarray:
-    """Add the infinite light to unterminated lanes that never entered the loop
-    or ran out of iterations, and return per-ray XYZ radiance [N, 3]."""
-    L_inf = (
-        jnp.asarray(params.infinite_xyz, dtype=jnp.float32)
-        * params.infinite_multiplier
-    )
-    # Lanes still not DONE (iteration cap) or retired-at-init lanes with no
-    # infinite light yet: a lane that went through the loop's retire path has
-    # mode DONE and got its L_inf there; init-miss lanes have mode DONE but
-    # zero L. We track those by t_exit == 0 (init miss marker).
-    init_miss = (st.mode == DONE) & (st.t_exit == 0.0) & (~st.terminated)
-    capped = st.mode != DONE
-    add = (init_miss | capped) & (~st.terminated)
-    return st.L + jnp.where(add[:, None], L_inf * st.wscore[:, None], 0.0)
+    """Per-ray XYZ radiance [N, 3] under the truncation cap policy.
+
+    Lanes still alive at the iteration cap (mode != DONE) are *truncated*:
+    they keep the radiance accumulated so far and do NOT collect the infinite
+    light — an out-of-iterations lane is still mid-volume, unlike the
+    reference's out-of-depth rays which have legitimately escaped when they
+    pick up L_inf (worker.cpp:197-200). Truncation loses only the path tail's
+    unscattered remainder; callers surface the capped-lane count (`n_capped`
+    from trace_rays) so cap sizing is visible, and renders should choose
+    max_iters so n_capped == 0 (tested in tests/test_integrator.py).
+    """
+    del params
+    return st.L
+
+
+def count_capped(st: RayState) -> jnp.ndarray:
+    """Number of lanes still alive (mid-volume) — the iteration-cap counter."""
+    return jnp.sum((st.mode != DONE).astype(jnp.int32))
 
 
 def trace_rays(
@@ -575,10 +591,12 @@ def trace_rays(
     random draws are keyed on (pixel id, global iteration), independent of
     lane position.
 
-    Returns (radiance [N,3], iterations_used []).
+    Returns (radiance [N,3], iterations_used [], n_capped []) where n_capped
+    counts lanes still mid-volume at the iteration cap (see finalize_radiance
+    for the truncation policy).
     """
     step = make_step(medium, params, bb_table)
-    st0 = init_state(medium, o_world, d_world)
+    st0 = init_state(medium, o_world, d_world, params)
     N = pixel_ids.shape[0]
 
     # Static compaction schedule: halve the width whenever the alive tail
@@ -609,7 +627,11 @@ def trace_rays(
     def body_for(pids_):
         def body(carry):
             st_, it_, _ = carry
-            u = vrng.counter_uniforms(pids_, stream, it_, 4)
+            # Draws are keyed on each lane's OWN counter (== the global
+            # iteration in this forward loop, since every lane steps every
+            # iteration) — the backward replay (diff/vjp.py) re-consumes a
+            # lane's counters to reproduce its path draw-for-draw.
+            u = vrng.counter_uniforms(pids_, stream, st_.ctr, 4)
             st2 = step(st_, u)
             return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
 
@@ -632,7 +654,7 @@ def trace_rays(
         idx_map = idx_map[keep]
         pids = pids[keep]
 
-    return out, it
+    return out, it, count_capped(st)
 
 
 def trace_rays_diff(
@@ -653,10 +675,11 @@ def trace_rays_diff(
     backward memory at O(sqrt-ish) instead of storing every gather.
     """
     step = jax.checkpoint(make_step(medium, params, bb_table))
-    st0 = init_state(medium, o_world, d_world)
+    st0 = init_state(medium, o_world, d_world, params)
 
     def body(st, it):
-        u = vrng.counter_uniforms(pixel_ids, stream, it, 4)
+        del it
+        u = vrng.counter_uniforms(pixel_ids, stream, st.ctr, 4)
         return step(st, u), None
 
     st_fin, _ = jax.lax.scan(body, st0, jnp.arange(n_iters, dtype=jnp.int32))

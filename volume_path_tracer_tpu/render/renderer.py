@@ -96,7 +96,8 @@ def render_rays_wave(
 ):
     """Render one wave for a batch of pixels.
 
-    Returns ([N, 4] film contribution (imaging_ratio * XYZ, weight 1), iters).
+    Returns ([N, 4] film contribution (imaging_ratio * XYZ, weight 1), iters,
+    n_capped — lanes truncated at the iteration cap, see finalize_radiance).
     """
     stream = vrng.mix_stream(seed, wave)
     # Jitter draws: a dedicated counter stream (iteration -1 cannot collide
@@ -104,11 +105,13 @@ def render_rays_wave(
     u_jit = vrng.counter_uniforms(pixel_ids, stream, jnp.int32(2**31 - 1), 2)
     jitter = u_jit * (0.5 if use_jitter else 0.0)  # worker.cpp:121-122
     o_w, d_w = camera.generate_rays(raster_xy, jitter)
-    L, iters = trace_rays(medium, params, bb_table, o_w, d_w, pixel_ids, stream)
+    L, iters, n_capped = trace_rays(
+        medium, params, bb_table, o_w, d_w, pixel_ids, stream
+    )
     contrib = jnp.concatenate(
         [imaging_ratio * L, jnp.ones((L.shape[0], 1), jnp.float32)], axis=-1
     )
-    return contrib, iters
+    return contrib, iters, n_capped
 
 
 def render_wave_image(
@@ -128,7 +131,7 @@ def render_wave_image(
         x, y = scene.single_pixel
         raster = jnp.asarray([[x, y]], jnp.int32)
         pids = jnp.asarray([y * W + x], jnp.int32)
-        contrib, _ = render_rays_wave(
+        contrib, _, _ = render_rays_wave(
             scene.medium, scene.params, scene.camera, bb, raster, pids,
             scene.seed, wave, scene.use_jitter, scene.camera.imaging_ratio,
         )
@@ -142,11 +145,18 @@ def render_wave_image(
         end = min(start + chunk, n)
         raster = jnp.asarray(coords[start:end])
         pids = jnp.arange(start, end, dtype=jnp.int32)
-        contrib, _ = render_rays_wave(
+        contrib, _, n_capped = render_rays_wave(
             scene.medium, scene.params, scene.camera, bb, raster, pids,
             scene.seed, wave, scene.use_jitter, scene.camera.imaging_ratio,
         )
         out = out.at[start:end].add(contrib)
+        ncap = int(n_capped)
+        if ncap:
+            print(
+                f"[vpt] WARNING: wave {wave}: {ncap} rays truncated at the "
+                f"iteration cap (max_iters={scene.params.max_iters}) - "
+                f"raise --max-iters to eliminate the bias"
+            )
     return out.reshape(H, W, 4)
 
 

@@ -165,7 +165,7 @@ def trace_path_events(
     o = jnp.asarray([o_world], jnp.float32)
     d = jnp.asarray([d_world], jnp.float32)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    st = init_state(medium, o, d)
+    st = init_state(medium, o, d, params)
     pids = jnp.asarray([pixel_id], jnp.int32)
     stream = vrng.mix_stream(seed, wave)
     g = medium.density
@@ -179,7 +179,9 @@ def trace_path_events(
     for it in range(max_iters):
         if int(st.mode[0]) == DONE:
             break
-        u = vrng.counter_uniforms(pids, stream, it, 8)
+        # Same draw budget as the production loop (trace_rays draws 4/iter):
+        # the trace consumes the EXACT uniform stream the render consumes.
+        u = vrng.counter_uniforms(pids, stream, it, 4)
         st, dbg = step(st, u)
         b = {k: np.asarray(v[0]) for k, v in dbg.items()}
         if b["collide"] and b["rho"] > 0:

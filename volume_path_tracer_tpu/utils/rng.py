@@ -84,10 +84,12 @@ def counter_uniforms(pixel_ids: jnp.ndarray, stream: jnp.ndarray, iteration, n: 
 
     pixel_ids: [N] int32/uint32 global pixel ids (shard-invariant lane key).
     stream: scalar uint32 mixing seed and wave.
-    iteration: scalar int32 wavefront iteration.
+    iteration: scalar OR per-lane [N] int32 draw counter (the integrator keys
+    draws on each lane's own counter so the backward replay can re-consume
+    a lane's stream independently of other lanes).
     """
     outs = []
-    it = jnp.uint32(iteration)
+    it = jnp.asarray(iteration).astype(jnp.uint32)
     for salt in range((n + 3) // 4):
         v = pcg4d(
             pixel_ids.astype(jnp.uint32),

@@ -100,3 +100,24 @@ def blackbody_radiation_xyz(table: jnp.ndarray, temperature_k: jnp.ndarray) -> j
     hi = table[idx + 1]
     out = lo + (hi - lo) * frac[..., None]
     return jnp.where(t[..., None] <= 0.0, 0.0, out)
+
+
+def blackbody_radiation_xyz_value_grad(table: jnp.ndarray, temperature_k: jnp.ndarray):
+    """(xyz, d xyz / dT) of the LUT lookup — the closed-form derivative of
+    blackbody_radiation_xyz, used by the replay backward pass (diff/vjp.py).
+
+    Matches reverse-mode AD of the lookup exactly: the lerp slope
+    (hi - lo) / RESOLUTION inside the active range, 0 where the T <= 0 guard
+    or the clamp to [0, TEMP_MAX) is in effect.
+    """
+    t = jnp.asarray(temperature_k)
+    tc = jnp.clip(t, 0.0, TEMP_MAX - 1e-3)
+    idx = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
+    idx = jnp.clip(idx, 0, N_BREAKPOINTS - 2)
+    frac = tc / RESOLUTION - (idx - 1).astype(tc.dtype)
+    lo = table[idx]
+    hi = table[idx + 1]
+    out = lo + (hi - lo) * frac[..., None]
+    in_range = (t > 0.0) & (t < TEMP_MAX - 1e-3)
+    grad = jnp.where(in_range[..., None], (hi - lo) / RESOLUTION, 0.0)
+    return jnp.where(t[..., None] <= 0.0, 0.0, out), grad
