@@ -1,0 +1,192 @@
+"""Path-replay backprop (diff/prb.py) validation.
+
+The replay VJP computes the gradient of the *same* estimator as reverse-mode
+AD of the bounded-scan path (trace_rays_diff): attached trilinear density /
+temperature samples, score-function factors for discrete events, attached
+ratio-tracking weights, detached majorants. So the sharpest test available is
+direct equality with `jax.grad` of trace_rays_diff — far tighter than finite
+differences. We check it per estimator component:
+
+  - absorption-only (score factors only)         — worker.cpp:148-150,159-163
+  - emission (density + temperature gradients)   — worker.cpp:152-157
+  - scattering + NEE (the double shadow walk)    — worker.cpp:52-90
+  - packed fast-gather layout (forward uses the fused rows AD cannot)
+
+plus the internal accounting invariant: the replayed accumulation gL_acc must
+reproduce <g, L_forward> lane-for-lane (the suffix bookkeeping is exact).
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from volume_path_tracer_tpu.diff.prb import replay_grads, trace_rays_prb
+from volume_path_tracer_tpu.grids.grid import dense_grid_from_array, pack_corner_rows
+from volume_path_tracer_tpu.grids.majorant import build_majorants
+from volume_path_tracer_tpu.models.medium import Medium, pack_fused_rows
+from volume_path_tracer_tpu.render.integrator import (
+    IntegratorParams,
+    trace_rays,
+    trace_rays_diff,
+)
+from volume_path_tracer_tpu.utils import rng as vrng
+from volume_path_tracer_tpu.utils.spectral import blackbody_xyz_table
+
+
+def make_med(data, temp=None, bloat=0.2, pack=False):
+    g = dense_grid_from_array(jnp.asarray(data))
+    t = dense_grid_from_array(jnp.asarray(temp)) if temp is not None else None
+    maj = build_majorants(g, bloat=bloat)
+    return Medium(
+        density=g,
+        majorants=maj,
+        temperature=t,
+        density_rows=pack_fused_rows(g.data, maj) if pack else None,
+        temperature_rows=(
+            pack_corner_rows(t.data) if (pack and t is not None) else None
+        ),
+    )
+
+
+def _params(**kw):
+    d = dict(
+        sigma_a=0.4, sigma_s=0.0, hg_g=0.0, le_scale=0.0,
+        temperature_offset=300.0, temperature_scale=40.0,
+        infinite_xyz=(1.0, 1.0, 1.0), infinite_multiplier=1.0,
+        distant_xyz=(0.0, 0.0, 0.0), distant_multiplier=0.0,
+        distant_inv_direction=(0.0, 1.0, 0.0),
+        max_depth=50, max_iters=192,
+    )
+    d.update(kw)
+    return IntegratorParams(**d)
+
+
+def _rays(n_rays):
+    o = jnp.broadcast_to(jnp.asarray([-3.0, 3.0, 3.0]), (n_rays, 3))
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n_rays, 3))
+    pids = jnp.arange(n_rays, dtype=jnp.int32)
+    return o, d, pids
+
+
+def _grad_pair(params, rho, temp=None, bb=None, n_rays=2048, stream=None,
+               pack_prb=False):
+    """(AD grads, PRB grads) of mean Y radiance for the same ray batch."""
+    stream = vrng.mix_stream(7, 2) if stream is None else stream
+    o, d, pids = _rays(n_rays)
+    argnums = (0,) if temp is None else (0, 1)
+
+    def f_ad(dat, tdat=None):
+        med = make_med(dat, tdat, pack=False)
+        L = trace_rays_diff(med, params, bb, o, d, pids, stream, params.max_iters)
+        return jnp.mean(L[:, 1])
+
+    def f_prb(dat, tdat=None):
+        med = make_med(dat, tdat, pack=pack_prb)
+        L = trace_rays_prb(med, params, bb, o, d, pids, stream)
+        return jnp.mean(L[:, 1])
+
+    args = (jnp.asarray(rho),) if temp is None else (
+        jnp.asarray(rho), jnp.asarray(temp)
+    )
+    ga = jax.jit(jax.grad(f_ad, argnums=argnums))(*args)
+    gp = jax.jit(jax.grad(f_prb, argnums=argnums))(*args)
+    return ga, gp
+
+
+def _assert_match(a, p, rtol=1e-4):
+    a, p = np.asarray(a), np.asarray(p)
+    scale = np.abs(a).max()
+    assert scale > 0, "degenerate test: zero gradient"
+    np.testing.assert_allclose(p, a, atol=rtol * scale, rtol=0)
+
+
+class TestReplayMatchesAD:
+    def test_absorption_score_factors(self):
+        rho = np.full((6, 6, 6), 0.6, np.float32)
+        ga, gp = _grad_pair(_params(), rho)
+        _assert_match(ga[0], gp[0])
+
+    def test_emission_density_and_temperature(self):
+        rho = np.full((6, 6, 6), 0.5, np.float32)
+        temp = np.full((6, 6, 6), 12.0, np.float32)
+        bb = jnp.asarray(blackbody_xyz_table())
+        p = _params(sigma_a=0.5, le_scale=5e-3, infinite_multiplier=0.2)
+        ga, gp = _grad_pair(p, rho, temp, bb=bb)
+        _assert_match(ga[0], gp[0])
+        _assert_match(ga[1], gp[1])
+
+    def test_nee_shadow_double_walk(self):
+        rho = np.full((6, 6, 6), 0.5, np.float32)
+        p = _params(
+            sigma_a=0.1, sigma_s=0.6, hg_g=0.4, infinite_multiplier=0.3,
+            distant_xyz=(0.95, 1.0, 1.09), distant_multiplier=5.0,
+            distant_inv_direction=(0.3, 0.8, 0.2), max_depth=40, max_iters=256,
+        )
+        ga, gp = _grad_pair(p, rho)
+        _assert_match(ga[0], gp[0])
+
+    def test_packed_forward_layout(self):
+        # PRB's forward/replay run on the fused fast-gather rows (which the AD
+        # path cannot differentiate through); gradients must still match the
+        # unpacked AD oracle.
+        rho = np.full((6, 6, 6), 0.5, np.float32)
+        temp = np.full((6, 6, 6), 12.0, np.float32)
+        bb = jnp.asarray(blackbody_xyz_table())
+        p = _params(
+            sigma_a=0.3, sigma_s=0.5, hg_g=0.4, le_scale=4e-3,
+            infinite_multiplier=0.3,
+            distant_xyz=(0.95, 1.0, 1.09), distant_multiplier=5.0,
+            distant_inv_direction=(0.3, 0.8, 0.2), max_depth=40, max_iters=256,
+        )
+        ga, gp = _grad_pair(p, rho, temp, bb=bb, pack_prb=True)
+        _assert_match(ga[0], gp[0])
+        _assert_match(ga[1], gp[1])
+
+
+class TestReplayInternals:
+    def test_forward_value_unchanged(self):
+        # trace_rays_prb's primal must be bitwise the production trace_rays.
+        rho = np.full((6, 6, 6), 0.5, np.float32)
+        med = make_med(rho)
+        p = _params(
+            sigma_a=0.1, sigma_s=0.6, hg_g=0.4, infinite_multiplier=0.3,
+            distant_xyz=(0.95, 1.0, 1.09), distant_multiplier=5.0,
+            distant_inv_direction=(0.3, 0.8, 0.2), max_iters=256,
+        )
+        o, d, pids = _rays(1024)
+        stream = vrng.mix_stream(7, 2)
+        L_ref, _, _ = trace_rays(med, p, None, o, d, pids, stream)
+        L_prb = trace_rays_prb(med, p, None, o, d, pids, stream)
+        np.testing.assert_array_equal(np.asarray(L_ref), np.asarray(L_prb))
+
+    def test_accounting_invariant(self):
+        # The replay's accumulated <g, L> must reproduce <g, L_forward>
+        # lane-for-lane: proves the suffix bookkeeping (and therefore every
+        # score factor's multiplier) is exact, including through the NEE
+        # double walk and truncation parity.
+        rho = np.full((6, 6, 6), 0.5, np.float32)
+        med = make_med(rho)
+        p = _params(
+            sigma_a=0.1, sigma_s=0.6, hg_g=0.4, infinite_multiplier=0.3,
+            distant_xyz=(0.95, 1.0, 1.09), distant_multiplier=5.0,
+            distant_inv_direction=(0.3, 0.8, 0.2), max_iters=256,
+        )
+        n_rays = 2048
+        o, d, pids = _rays(n_rays)
+        stream = vrng.mix_stream(7, 2)
+        L_fwd, _, _ = trace_rays(med, p, None, o, d, pids, stream)
+        gv = jnp.tile(jnp.asarray([[0.3, 1.0, 0.2]]), (n_rays, 1))
+        _, _, acc, tot = replay_grads(
+            med, p, None, o, d, pids, stream, L_fwd, gv, with_check=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(tot), atol=1e-5, rtol=1e-5
+        )
+
+    def test_truncation_parity(self):
+        # With a tiny iteration cap, forward truncates lanes mid-volume; the
+        # replay must reproduce exactly the truncated estimator's gradient.
+        rho = np.full((6, 6, 6), 0.8, np.float32)
+        p = _params(sigma_a=0.2, sigma_s=0.4, hg_g=0.0, max_iters=12)
+        ga, gp = _grad_pair(p, rho, n_rays=2048)
+        _assert_match(ga[0], gp[0])

@@ -25,11 +25,13 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..grids.grid import pack_corner_rows
 from ..grids.majorant import build_majorants
 from ..models.camera import Camera
-from ..models.medium import Medium
+from ..models.medium import Medium, pack_fused_rows
 from ..render.integrator import IntegratorParams, trace_rays_diff
 from ..utils import rng as vrng
+from .prb import trace_rays_prb
 
 
 class OptimizableGrids(NamedTuple):
@@ -50,12 +52,14 @@ def param_from_density(d: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
 
 
 def medium_with_params(
-    base: Medium, grids: OptimizableGrids, bloat: float = 0.1
+    base: Medium, grids: OptimizableGrids, bloat: float = 0.1, pack: bool = False
 ) -> Medium:
     """Rebuild the medium from optimizable leaves.
 
     Majorants get `bloat` slack: gradient rendering requires a strictly
     positive null-collision probability everywhere (see build_majorants).
+    pack=True builds the fused fast-gather rows too — usable with the replay
+    VJP (trace_rays_prb), which never differentiates *through* the rows.
     """
     density = dataclasses.replace(
         base.density, data=density_from_param(grids.log_density)
@@ -63,10 +67,17 @@ def medium_with_params(
     temperature = base.temperature
     if grids.temperature is not None and base.temperature is not None:
         temperature = dataclasses.replace(base.temperature, data=grids.temperature)
+    majorants = build_majorants(density, bloat=bloat)
     return Medium(
         density=density,
-        majorants=build_majorants(density, bloat=bloat),
+        majorants=majorants,
         temperature=temperature,
+        density_rows=pack_fused_rows(density.data, majorants) if pack else None,
+        temperature_rows=(
+            pack_corner_rows(temperature.data)
+            if (pack and temperature is not None)
+            else None
+        ),
     )
 
 
@@ -78,6 +89,8 @@ def make_render_loss(
     n_iters: int,
     use_jitter: bool,
     samples_per_step: int = 4,
+    use_prb: bool = True,
+    pack: bool = False,
 ):
     """loss(grids, raster, pids, target_px, seed_wave) -> (sum_sq, n) per batch.
 
@@ -87,13 +100,22 @@ def make_render_loss(
     variance, so averaging k samples per step cuts the noise floor k-fold and
     makes the optimization signal visible.
 
+    use_prb=True (default) differentiates through the replay custom VJP
+    (diff/prb.py): O(1) backward memory, full-speed forward while_loop, and
+    optionally the packed fast-gather layout (pack=True). use_prb=False keeps
+    the bounded-scan AD path (trace_rays_diff) — the oracle the replay VJP is
+    validated against.
+
     Returns per-batch *sums* so sharded callers can psum before normalizing.
     target_px: [N, 3] target film XYZ (already imaging_ratio-scaled means).
     """
     k = samples_per_step
+    if use_prb:
+        # The replay truncates at params.max_iters; mirror the scan bound.
+        params = dataclasses.replace(params, max_iters=n_iters)
 
     def loss_fn(grids: OptimizableGrids, raster, pids, target_px, seed_wave):
-        medium = medium_with_params(base_medium, grids)
+        medium = medium_with_params(base_medium, grids, pack=pack and use_prb)
         N = pids.shape[0]
         raster_k = jnp.tile(raster, (k, 1))
         pids_k = jnp.tile(pids, (k,))
@@ -102,9 +124,14 @@ def make_render_loss(
         u_jit = vrng.counter_uniforms(pids_k, stream_k, jnp.int32(2**31 - 1), 2)
         jitter = u_jit * (0.5 if use_jitter else 0.0)
         o_w, d_w = camera.generate_rays(raster_k, jitter)
-        L = trace_rays_diff(
-            medium, params, bb_table, o_w, d_w, pids_k, stream_k, n_iters
-        )
+        if use_prb:
+            L = trace_rays_prb(
+                medium, params, bb_table, o_w, d_w, pids_k, stream_k
+            )
+        else:
+            L = trace_rays_diff(
+                medium, params, bb_table, o_w, d_w, pids_k, stream_k, n_iters
+            )
         px = camera.imaging_ratio * jnp.mean(L.reshape(k, N, 3), axis=0)
         sq = jnp.sum((px - target_px) ** 2)
         return sq, jnp.float32(px.size)
@@ -122,6 +149,8 @@ def make_train_step(
     use_jitter: bool = True,
     mesh: Optional[Mesh] = None,
     samples_per_step: int = 4,
+    use_prb: bool = True,
+    pack: bool = False,
 ):
     """Build a jitted train step.
 
@@ -131,7 +160,7 @@ def make_train_step(
     """
     loss_fn = make_render_loss(
         base_medium, params, camera, bb_table, n_iters, use_jitter,
-        samples_per_step=samples_per_step,
+        samples_per_step=samples_per_step, use_prb=use_prb, pack=pack,
     )
 
     if mesh is None:

@@ -170,74 +170,68 @@ def _cell_exit_t(o, d, cell_lo, cell_hi):
     return jnp.min(jnp.maximum(ta, tb), axis=-1)
 
 
-def make_step(
-    medium: Medium,
-    params: IntegratorParams,
-    bb_table: Optional[jnp.ndarray],
-    collect_debug: bool = False,
-):
-    """Build the single-iteration wavefront step function.
+class TravOut(NamedTuple):
+    """Per-iteration traversal results shared by the forward step and the
+    backward replay step (diff/prb.py). All fields are [N] or [N, 3]."""
 
-    Returns step(state, uniforms [N,4]) -> state. `medium`'s array leaves are
-    closed over (they are loop invariants; XLA keeps them in HBM and streams
-    gathers), its static transform metadata becomes compile-time constants.
+    collide: jnp.ndarray  # collision sampled inside the current segment
+    cross: jnp.ndarray  # crossing into the next segment (or exiting)
+    exited: jnp.ndarray  # crossed past the bbox exit
+    fetch: jnp.ndarray  # crossing lanes that install a fresh segment
+    t_cand: jnp.ndarray  # free-flight candidate parameter (voxel units)
+    t_next: jnp.ndarray  # next segment start for crossing lanes
+    p_col: jnp.ndarray  # [N,3] gather point (collision or lookahead)
+    lp: jnp.ndarray  # [N,3] local (grid-relative) float coords of p_col
+    rho: jnp.ndarray  # trilinear density at p_col (collide lanes)
+    sig: jnp.ndarray  # max(sig_seg, TINY): world-unit majorant sigma
+    sigma_maj: jnp.ndarray  # current segment's majorant sigma (raw)
+    sig_seg_f: jnp.ndarray  # freshly derived segment majorant (fetch lanes)
+    t_seg_f: jnp.ndarray  # freshly derived segment end (fetch lanes)
+    use_super: jnp.ndarray  # fetch used the superbrick level
+    cell_lo: jnp.ndarray  # [N,3] DDA cell bounds (debug)
+    cell_sz: jnp.ndarray  # [N] DDA cell size (debug)
+    real_col: jnp.ndarray  # collide with rho > 0
+    zero_col: jnp.ndarray  # collide with rho <= 0 (silent advance)
 
-    collect_debug=True makes step return (state, dbg) where dbg is a dict of
-    per-lane arrays describing what happened this iteration (collision flags,
-    density, event kind, DDA cell, segment bounds) — the machinery behind the
-    single-ray tracer / path-event dump (tools/trace.py), instrumenting the
-    REAL production step rather than a parallel reimplementation (the
-    reference's Logger + record_steps hooks, worker.cpp:15-49, volume.hpp:52).
+
+def make_traversal(medium: Medium, params: IntegratorParams):
+    """Build the shared traversal core: one tracking event per lane.
+
+    Covers the reference's RayMajorantIterator::next + the free-flight half of
+    MajorantTransmittanceSampler::next (volume.cpp:38-76,
+    majorant_transmittance_sampler.cpp:21-61): carried-segment free flight,
+    the fused row gather, and brick/superbrick segment derivation. Both the
+    forward wavefront step and the backward path-replay step call this, so
+    replayed paths reproduce forward paths bit-for-bit.
+
+    Returns traverse(o, d, t, t_exit, sig_seg, t_seg, active, u0) -> TravOut.
     """
     dgrid = medium.density
     O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
-    shape = jnp.asarray(dgrid.shape, dtype=jnp.float32)
-    bbox_lo = O
-    bbox_hi = O + shape
     voxel = dgrid.voxel_size  # idx_to_world_scale (volume.cpp:91)
-
-    sigma_a, sigma_s = params.sigma_a, params.sigma_s
     sigma_t = params.sigma_t
-    g = params.hg_g
-
-    emission_on = medium.has_temperature and params.le_scale != 0.0
-    nee_on = params.nee_enabled
-
-    wi_np = jnp.asarray(params.distant_inv_direction, dtype=jnp.float32)
-    wi = wi_np / jnp.linalg.norm(wi_np)  # worker.cpp:54
-    Li = jnp.asarray(params.distant_xyz, dtype=jnp.float32) * params.distant_multiplier
-    L_inf = (
-        jnp.asarray(params.infinite_xyz, dtype=jnp.float32)
-        * params.infinite_multiplier
-    )
 
     maj_rows = medium.majorants.rows  # [NB, 2]: (brick, super) per brick
     BX, BY, BZ = medium.majorants.brick_maj.shape
-    fused = medium.density_rows  # [(X+1)(Y+1)(Z+1), 16] or None
+    fused = medium.density_rows  # [(X+1)(Y+1)(Z+1) + NB, 8] or None
 
-    def step(st: RayState, u: jnp.ndarray) -> RayState:
-        N = st.t.shape[0]
-        active = st.mode != DONE
-        in_cam = st.mode == CAM
-        in_shw = st.mode == SHADOW
-
+    def traverse(o, d, t, t_exit, sig_seg, t_seg, active, u0) -> TravOut:
         # ---- free flight within the CARRIED segment (sampler.cpp:44-45) ----
         # The segment's majorant sigma (world units) and end live in the state,
         # written by the previous iteration's crossing. A lane with no valid
         # segment (t_seg <= t: fresh ray or just-redirected path) falls through
         # to the crossing branch, which fetches its first segment.
-        has_seg = st.t_seg > st.t
-        sig = jnp.maximum(st.sig_seg, _TINY)
-        dt_w = vrng.sample_exponential(u[:, 0], sig)
-        t_cand = st.t + dt_w / voxel
-        collide = active & has_seg & (st.sig_seg > 0.0) & (t_cand < st.t_seg)
+        has_seg = t_seg > t
+        sig = jnp.maximum(sig_seg, _TINY)
+        dt_w = vrng.sample_exponential(u0, sig)
+        t_cand = t + dt_w / voxel
+        collide = active & has_seg & (sig_seg > 0.0) & (t_cand < t_seg)
 
         # Crossing lanes: no segment yet, empty segment, or flew past its end.
         cross = active & (~collide)
-        t_next = jnp.where(has_seg, st.t_seg, st.t)  # next segment start
-        exited = cross & (t_next >= st.t_exit - 1e-6)
+        t_next = jnp.where(has_seg, t_seg, t)  # next segment start
+        exited = cross & (t_next >= t_exit - 1e-6)
         fetch = cross & (~exited)
-        stepped = fetch  # debug-channel alias (advance to segment boundary)
 
         # ---- THE gather: one row per lane per iteration ----
         # Colliding lanes gather at the collision point (the trilinear corner
@@ -247,7 +241,7 @@ def make_step(
         # data-dependent, but it is one gather either way — and the gather is
         # the loop's dominant cost on TPU.
         t_gather = jnp.where(collide, t_cand, t_next + _LOOKAHEAD)
-        p_col = st.o + st.d * t_gather[:, None]
+        p_col = o + d * t_gather[:, None]
         lp = p_col - O  # local (grid-relative) float coords
         # Brick coords of the (crossing-lane) lookahead point.
         bb = jnp.floor(lp / BRICK).astype(jnp.int32)
@@ -286,17 +280,110 @@ def make_step(
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
         cell_lo = jnp.floor(lp / cell_sz[:, None]) * cell_sz[:, None] + O
         cell_hi = cell_lo + cell_sz[:, None]
-        t_cell = _cell_exit_t(st.o, st.d, cell_lo, cell_hi)
-        t_seg_f = jnp.minimum(t_cell, st.t_exit)
+        t_cell = _cell_exit_t(o, d, cell_lo, cell_hi)
+        t_seg_f = jnp.minimum(t_cell, t_exit)
         # Guaranteed forward progress even on degenerate geometry.
         t_seg_f = jnp.maximum(t_seg_f, t_next + 2 * _LOOKAHEAD)
         sig_seg_f = jnp.where(use_super, 0.0, bmaj) * sigma_t  # sampler.cpp:41
-        sigma_maj = st.sig_seg  # world-space majorant of the CURRENT segment
+        sigma_maj = sig_seg  # world-space majorant of the CURRENT segment
 
         # ---- collision classification ----
         rho_pos = rho > 0.0
         real_col = collide & rho_pos
         zero_col = collide & (~rho_pos)  # sampler.cpp:60-61: silently advance
+
+        return TravOut(
+            collide=collide, cross=cross, exited=exited, fetch=fetch,
+            t_cand=t_cand, t_next=t_next, p_col=p_col, lp=lp, rho=rho,
+            sig=sig, sigma_maj=sigma_maj, sig_seg_f=sig_seg_f,
+            t_seg_f=t_seg_f, use_super=use_super, cell_lo=cell_lo,
+            cell_sz=cell_sz, real_col=real_col, zero_col=zero_col,
+        )
+
+    return traverse
+
+
+def sample_temperature_kelvin(medium: Medium, params: IntegratorParams, p_col):
+    """Trilinear temperature (kelvin) at density-index-space points p_col.
+
+    The temperature grid has its OWN index transform; the collision point is
+    mapped world -> temperature-index separately (worker.cpp:153-155).
+    Returns (T_K [N], tp_local [N,3] temperature-grid local coords).
+    """
+    dgrid = medium.density
+    tgrid = medium.temperature
+    voxel = dgrid.voxel_size
+    p_world = p_col * voxel + jnp.asarray(dgrid.world_offset, jnp.float32)
+    tp = (
+        p_world - jnp.asarray(tgrid.world_offset, jnp.float32)
+    ) / tgrid.voxel_size
+    tp_local = tp - jnp.asarray(tgrid.origin_ijk, jnp.float32)
+    if medium.temperature_rows is not None:
+        temp_adim = sample_trilinear_rows(
+            medium.temperature_rows, tgrid.shape, tp_local
+        )
+    else:
+        temp_adim = sample_trilinear_local(tgrid.data, tp_local)
+    temp_k = temp_adim * params.temperature_scale + params.temperature_offset
+    return temp_k, tp_local
+
+
+def make_step(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table: Optional[jnp.ndarray],
+    collect_debug: bool = False,
+):
+    """Build the single-iteration wavefront step function.
+
+    Returns step(state, uniforms [N,4]) -> state. `medium`'s array leaves are
+    closed over (they are loop invariants; XLA keeps them in HBM and streams
+    gathers), its static transform metadata becomes compile-time constants.
+
+    collect_debug=True makes step return (state, dbg) where dbg is a dict of
+    per-lane arrays describing what happened this iteration (collision flags,
+    density, event kind, DDA cell, segment bounds) — the machinery behind the
+    single-ray tracer / path-event dump (tools/trace.py), instrumenting the
+    REAL production step rather than a parallel reimplementation (the
+    reference's Logger + record_steps hooks, worker.cpp:15-49, volume.hpp:52).
+    """
+    dgrid = medium.density
+    O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
+    shape = jnp.asarray(dgrid.shape, dtype=jnp.float32)
+    bbox_lo = O
+    bbox_hi = O + shape
+
+    sigma_a, sigma_s = params.sigma_a, params.sigma_s
+    sigma_t = params.sigma_t
+    g = params.hg_g
+
+    emission_on = medium.has_temperature and params.le_scale != 0.0
+    nee_on = params.nee_enabled
+
+    wi_np = jnp.asarray(params.distant_inv_direction, dtype=jnp.float32)
+    wi = wi_np / jnp.linalg.norm(wi_np)  # worker.cpp:54
+    Li = jnp.asarray(params.distant_xyz, dtype=jnp.float32) * params.distant_multiplier
+    L_inf = (
+        jnp.asarray(params.infinite_xyz, dtype=jnp.float32)
+        * params.infinite_multiplier
+    )
+
+    traverse = make_traversal(medium, params)
+
+    def step(st: RayState, u: jnp.ndarray) -> RayState:
+        active = st.mode != DONE
+        in_cam = st.mode == CAM
+        in_shw = st.mode == SHADOW
+
+        tr = traverse(
+            st.o, st.d, st.t, st.t_exit, st.sig_seg, st.t_seg, active, u[:, 0]
+        )
+        collide, exited, fetch = tr.collide, tr.exited, tr.fetch
+        t_cand, t_next, p_col = tr.t_cand, tr.t_next, tr.p_col
+        rho, sig, sigma_maj = tr.rho, tr.sig, tr.sigma_maj
+        sig_seg_f, t_seg_f = tr.sig_seg_f, tr.t_seg_f
+        real_col, zero_col = tr.real_col, tr.zero_col
+        stepped = fetch  # debug-channel alias (advance to segment boundary)
 
         # =========== CAMERA-mode collision handling ===========
         cam_col = in_cam & real_col
@@ -306,21 +393,7 @@ def make_step(
 
         L_new = st.L
         if emission_on:
-            tgrid = medium.temperature
-            p_world = p_col * voxel + jnp.asarray(dgrid.world_offset, jnp.float32)
-            tp = (
-                p_world - jnp.asarray(tgrid.world_offset, jnp.float32)
-            ) / tgrid.voxel_size
-            tp_local = tp - jnp.asarray(tgrid.origin_ijk, jnp.float32)
-            if medium.temperature_rows is not None:
-                temp_adim = sample_trilinear_rows(
-                    medium.temperature_rows, tgrid.shape, tp_local
-                )
-            else:
-                temp_adim = sample_trilinear_local(tgrid.data, tp_local)
-            temp_k = (
-                temp_adim * params.temperature_scale + params.temperature_offset
-            )  # worker.cpp:155
+            temp_k, _ = sample_temperature_kelvin(medium, params, p_col)
             from ..utils.spectral import blackbody_radiation_xyz
 
             emit = p_a[:, None] * params.le_scale * blackbody_radiation_xyz(
@@ -483,7 +556,7 @@ def make_step(
             return st_new
         dbg = dict(
             active=active, in_cam=in_cam, in_shw=in_shw,
-            cell_lo=cell_lo, cell_sz=cell_sz, use_super=use_super,
+            cell_lo=tr.cell_lo, cell_sz=tr.cell_sz, use_super=tr.use_super,
             maj=sigma_maj / sigma_t if sigma_t else sigma_maj,
             sigma_maj=sigma_maj,
             t0=st.t, t_seg_end=jnp.where(fetch, t_seg_f, st.t_seg),
@@ -598,6 +671,10 @@ def trace_rays(
     step = make_step(medium, params, bb_table)
     st0 = init_state(medium, o_world, d_world, params)
     N = pixel_ids.shape[0]
+    # stream may be scalar (one wave) or per-lane [N] (batched multi-wave
+    # callers, e.g. the inverse-rendering loss); normalize to per-lane so
+    # compaction can narrow it alongside pixel_ids.
+    stream = jnp.broadcast_to(jnp.asarray(stream, jnp.uint32), (N,))
 
     # Static compaction schedule: halve the width whenever the alive tail
     # fits (each stage ends when alive <= next width; the argsort compaction
@@ -624,14 +701,14 @@ def trace_rays(
 
         return cond
 
-    def body_for(pids_):
+    def body_for(pids_, stream_):
         def body(carry):
             st_, it_, _ = carry
             # Draws are keyed on each lane's OWN counter (== the global
             # iteration in this forward loop, since every lane steps every
-            # iteration) — the backward replay (diff/vjp.py) re-consumes a
+            # iteration) — the backward replay (diff/prb.py) re-consumes a
             # lane's counters to reproduce its path draw-for-draw.
-            u = vrng.counter_uniforms(pids_, stream, st_.ctr, 4)
+            u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
             st2 = step(st_, u)
             return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
 
@@ -640,7 +717,7 @@ def trace_rays(
     for next_w in widths + [None]:
         alive = jnp.sum((st.mode != DONE).astype(jnp.int32))
         st, it, alive = jax.lax.while_loop(
-            make_loop(next_w), body_for(pids), (st, it, alive)
+            make_loop(next_w), body_for(pids, stream), (st, it, alive)
         )
         # Scatter current (finalized) radiance for every lane in this stage;
         # lanes that continue get overwritten by later stages' scatters.
@@ -653,6 +730,7 @@ def trace_rays(
         st = jax.tree.map(lambda a: a[keep], st)
         idx_map = idx_map[keep]
         pids = pids[keep]
+        stream = stream[keep]
 
     return out, it, count_capped(st)
 
