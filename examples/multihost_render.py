@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--spp-axis", type=int, default=1)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--train-size", type=int, default=32,
+                    help="training image edge (pixels)")
+    ap.add_argument("--train-steps", type=int, default=10)
+    ap.add_argument("--checkpoint", default=None, metavar="NPZ",
+                    help="training checkpoint (grids + optimizer state)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -71,7 +76,7 @@ def main():
     raster, pids, npix = multihost.make_global_ray_batch(mesh, W, H)
 
     # warmup
-    contrib = render_wave_sharded(
+    contrib, _ = render_wave_sharded(
         mesh, medium, params, camera, None, raster, pids, 10, 0, True
     )
     jax.block_until_ready(contrib)
@@ -79,7 +84,7 @@ def main():
     t0 = time.perf_counter()
     film = None
     for w in range(1, args.waves + 1):
-        contrib = render_wave_sharded(
+        contrib, _ = render_wave_sharded(
             mesh, medium, params, camera, None, raster, pids, 10, w, True
         )
         film = contrib if film is None else film + contrib
@@ -100,29 +105,131 @@ def main():
             print(f"[multihost] film shape {out.shape}, mean w {out[..., 3].mean():.1f}")
 
     if args.train:
+        # Joint density/temperature optimization toward a REAL rendered
+        # target (BASELINE.json config 5): the target medium is an emissive
+        # plume; the optimization starts from a flattened density and a
+        # cooled temperature field and recovers both. Optimizer state is
+        # checkpointed every step and training resumes from --checkpoint.
+        import dataclasses
+
         import optax
 
         from volume_path_tracer_tpu.diff.inverse import (
-            OptimizableGrids, make_train_step, param_from_density,
+            OptimizableGrids,
+            load_train_checkpoint,
+            make_train_step,
+            param_from_density,
+            save_train_checkpoint,
         )
+        from volume_path_tracer_tpu.grids.procedural import fire_plume
+        from volume_path_tracer_tpu.render.integrator import trace_rays
+        from volume_path_tracer_tpu.utils import rng as vrng
+        from volume_path_tracer_tpu.utils.spectral import blackbody_xyz_table
 
-        opt = optax.adam(0.02)
-        base = Medium.from_grids(fog_sphere(radius=40.0, falloff=8.0), pack=False)
-        grids = OptimizableGrids(log_density=param_from_density(base.density.data))
-        step = make_train_step(
-            base, params, camera, None, opt, n_iters=256, mesh=mesh,
-            samples_per_step=2,
+        Wt = Ht = args.train_size
+        dens_g, temp_raw = fire_plume(height=40, radius=10.0)
+        # Normalize the plume temperature to a smooth [0, 10] field: with
+        # offset 1100 K / scale 20 K the emission spans ~25x (not the 10^4x
+        # a raw fire core produces), keeping the Monte-Carlo loss floor well
+        # below the optimization signal at few samples/step.
+        tmax = float(np.asarray(temp_raw.data).max())
+        temp_g = dataclasses.replace(
+            temp_raw, data=jnp.asarray(temp_raw.data) / tmax * 10.0
         )
+        target_med = Medium.from_grids(dens_g, temp_g, pack=False)
+        tparams = dataclasses.replace(
+            params, sigma_a=0.8, sigma_s=0.2, hg_g=0.6, le_scale=4e-7,
+            temperature_offset=1100.0, temperature_scale=20.0,
+            infinite_xyz=(1.0, 1.0, 1.0), infinite_multiplier=0.2,
+            distant_xyz=(0.95047, 1.0, 1.08883), distant_multiplier=3.0,
+            max_iters=1024,
+        )
+        tcam = Camera.from_parameters(
+            CameraParameters((0.0, 20.0, -70.0), (0.0, 20.0, 0.0),
+                             (0.0, 1.0, 0.0), 40.0, 1.0),
+            (Wt, Ht),
+        )
+        bb = jnp.asarray(blackbody_xyz_table())
+
+        ys, xs = np.mgrid[0:Ht, 0:Wt]
+        t_raster = jnp.asarray(
+            np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
+        )
+        t_pids = jnp.arange(Wt * Ht, dtype=jnp.int32)
+
+        # Target pixels: converged mean over several waves of the target
+        # medium (a real image, not zeros).
+        target_px = 0
+        n_tw = 6
+        for w in range(n_tw):
+            stream = vrng.mix_stream(77, 100 + w)
+            u = vrng.counter_uniforms(t_pids, stream, jnp.int32(2**31 - 1), 2)
+            o_w, d_w = tcam.generate_rays(t_raster, u * 0.5)
+            L, _, _ = trace_rays(
+                target_med, tparams, bb, o_w, d_w, t_pids, stream
+            )
+            target_px = target_px + L
+        target_px = tcam.imaging_ratio * target_px / n_tw
+
+        # Start point: flattened density, cooled temperature.
+        start_dens = jnp.asarray(dens_g.data) * 0.4 + 0.05
+        start_temp = jnp.asarray(temp_g.data) * 0.6
+        base = Medium.from_grids(
+            dataclasses.replace(dens_g, data=start_dens),
+            dataclasses.replace(temp_g, data=start_temp),
+            pack=False,
+        )
+        grids = OptimizableGrids(
+            log_density=param_from_density(start_dens),
+            temperature=start_temp,
+        )
+        opt = optax.adam(0.03)
         state = opt.init(grids)
-        target = jnp.zeros((raster.shape[0], 3), jnp.float32)
+        start_step = 0
+        if args.checkpoint:
+            ck = load_train_checkpoint(args.checkpoint, grids, state)
+            if ck is not None:
+                grids, state, start_step = ck
+                if jax.process_index() == 0:
+                    print(f"[multihost] resumed training at step {start_step}")
+
+        step = make_train_step(
+            base, tparams, tcam, bb, opt, n_iters=512,
+            mesh=mesh if mesh.devices.size > 1 else None,
+            samples_per_step=8, use_prb=True,
+        )
+        if mesh.devices.size > 1:
+            pad = (-t_pids.shape[0]) % mesh.shape["rays"]
+            if pad:
+                t_raster = jnp.concatenate(
+                    [t_raster, jnp.zeros((pad, 2), jnp.int32)]
+                )
+                t_pids = jnp.concatenate(
+                    [t_pids, jnp.full((pad,), Wt * Ht - 1, jnp.int32)]
+                )
+                target_px = jnp.concatenate(
+                    [target_px, jnp.zeros((pad, 3), jnp.float32)]
+                )
+
         t0 = time.perf_counter()
-        for it in range(3):
-            sw = jnp.asarray([10, it + 1], jnp.uint32)
-            grids, state, loss = step(grids, state, raster, pids, target, sw)
+        losses = []
+        for it in range(start_step, start_step + args.train_steps):
+            sw = jnp.asarray([77, it + 1], jnp.uint32)
+            grids, state, loss = step(
+                grids, state, t_raster, t_pids, target_px, sw
+            )
+            losses.append(float(loss))
+            if jax.process_index() == 0:
+                print(f"[train] step {it}: loss {losses[-1]:.6f}", flush=True)
+                if args.checkpoint:
+                    save_train_checkpoint(args.checkpoint, grids, state, it + 1)
         jax.block_until_ready(loss)
         if jax.process_index() == 0:
-            print(f"[multihost] 3 train steps in {time.perf_counter()-t0:.2f}s, "
-                  f"loss {float(loss):.5f}")
+            print(
+                f"[multihost] {len(losses)} joint density+temperature steps in "
+                f"{time.perf_counter()-t0:.2f}s; loss {losses[0]:.5f} -> "
+                f"{losses[-1]:.5f}"
+            )
 
 
 if __name__ == "__main__":

@@ -70,6 +70,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--mesh", type=int, default=None, metavar="N",
                     help="shard rays over N devices (default: all if >1)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the render to DIR")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -123,16 +125,30 @@ def main(argv=None):
         write_png(args.output, img)
         print(f"\n[vpt] saved {args.output}")
 
+    import time as _time
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    npix_img = scene.width * scene.height
     with StopController() as stop:
         w = start_wave
         while w < num_waves:
             w += 1
+            t_wave = _time.perf_counter()
             if mesh is not None:
                 film = _render_wave_sharded(scene, mesh, w, film)
             else:
                 film = render_wave_image(scene, w, film, args.chunk_pixels)
+            jax.block_until_ready(film)
+            dt_wave = _time.perf_counter() - t_wave
             tracker.advance(1)
-            print(f"\r[vpt] {tracker.format()}   ", end="", flush=True)
+            # Per-wave throughput (SURVEY.md section 5 tracing bullet): one
+            # wave = one camera ray per pixel.
+            print(
+                f"\r[vpt] {tracker.format()} "
+                f"({npix_img / dt_wave / 1e6:.2f} M rays/s)   ",
+                end="", flush=True,
+            )
             if args.preview:
                 write_png(args.preview, np.asarray(film_to_srgb_u8(film)))
             if args.checkpoint:
@@ -140,6 +156,9 @@ def main(argv=None):
             if stop.stop_at_next_wave:
                 print(f"\n[vpt] stopped at wave boundary {w}")
                 break
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"\n[vpt] profiler trace written to {args.profile}")
 
     save_final(film)
     return 0

@@ -41,6 +41,47 @@ class OptimizableGrids(NamedTuple):
     temperature: Optional[jnp.ndarray] = None  # raw adimensional grid or None
 
 
+def save_train_checkpoint(path, grids, opt_state, step: int) -> None:
+    """Persist (grids, optimizer state, step) at a wave/step boundary.
+
+    SURVEY.md section 5 checkpoint bullet: the reference's wave boundaries are
+    consistent snapshots; for inverse rendering the optimizer state must be
+    part of the snapshot too or resuming silently resets Adam moments.
+    Leaves are stored flat; the caller re-creates identically-shaped
+    (grids, opt_state) templates to load into (load_train_checkpoint).
+    """
+    import os
+
+    leaves = jax.tree.leaves((grids, opt_state))
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, step=step, n_leaves=len(leaves), **payload)
+    os.replace(tmp, path)
+
+
+def load_train_checkpoint(path, grids_like, opt_state_like):
+    """Returns (grids, opt_state, step) or None if absent/shape-mismatched."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    template = (grids_like, opt_state_like)
+    leaves_like, treedef = jax.tree.flatten(template)
+    n = int(z["n_leaves"])
+    if n != len(leaves_like):
+        return None
+    leaves = []
+    for i, like in enumerate(leaves_like):
+        arr = z[f"leaf_{i}"]
+        if tuple(arr.shape) != tuple(np.shape(like)):
+            return None
+        leaves.append(jnp.asarray(arr, dtype=np.asarray(like).dtype))
+    grids, opt_state = jax.tree.unflatten(treedef, leaves)
+    return grids, opt_state, int(z["step"])
+
+
 def density_from_param(p: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(p)
 

@@ -113,3 +113,75 @@ def fire_plume(
         world_offset=(0.5 * voxel_size, 0.0, 0.5 * voxel_size),
     )
     return dgrid, tgrid
+
+
+def big_cloud(
+    n: int = 512,
+    seed: int = 7,
+    occupancy_target: float = 0.12,
+    voxel_size: float = 1.0,
+) -> DenseGrid:
+    """A wdas_cloud-scale sparse cumulus stand-in: [n, n, n] float density.
+
+    The real flagship asset (wdas_cloud.nvdb, the public Disney cloud) is
+    unavailable here; this generates a structurally comparable volume —
+    hundreds of voxels across, ~10-15% active occupancy in puffy lobes with
+    empty space around them — so production-scale memory/throughput behavior
+    (HBM-resident grids, majorant skipping over real emptiness, packed-row
+    table cost) is measurable. Built from value-noise octaves shaped by a
+    union of ellipsoidal lobes; pure numpy, ~seconds for 512^3.
+    """
+    rng = np.random.default_rng(seed)
+
+    def value_noise(shape, cells):
+        g = rng.standard_normal((cells + 1,) * 3).astype(np.float32)
+        idx = [np.linspace(0, cells, s, endpoint=False) for s in shape]
+        i0 = [np.floor(v).astype(np.int32) for v in idx]
+        f = [v - w for v, w in zip(idx, i0)]
+        f = [t * t * (3.0 - 2.0 * t) for t in f]
+        x0, y0, z0 = np.meshgrid(*i0, indexing="ij", sparse=True)
+        fx, fy, fz = np.meshgrid(*f, indexing="ij", sparse=True)
+
+        def corner(dx, dy, dz):
+            return g[x0 + dx, y0 + dy, z0 + dz]
+
+        return (
+            corner(0, 0, 0) * (1 - fx) * (1 - fy) * (1 - fz)
+            + corner(0, 0, 1) * (1 - fx) * (1 - fy) * fz
+            + corner(0, 1, 0) * (1 - fx) * fy * (1 - fz)
+            + corner(0, 1, 1) * (1 - fx) * fy * fz
+            + corner(1, 0, 0) * fx * (1 - fy) * (1 - fz)
+            + corner(1, 0, 1) * fx * (1 - fy) * fz
+            + corner(1, 1, 0) * fx * fy * (1 - fz)
+            + corner(1, 1, 1) * fx * fy * fz
+        ).astype(np.float32)
+
+    shape = (n, n, n)
+    noise = (
+        value_noise(shape, 6)
+        + 0.5 * value_noise(shape, 12)
+        + 0.25 * value_noise(shape, 24)
+    )
+
+    # Puffy lobes: a union of soft ellipsoids clustered around the center.
+    ax = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij", sparse=True)
+    body = np.full(shape, -1.0, np.float32)
+    for _ in range(10):
+        c = rng.uniform(-0.45, 0.45, 3).astype(np.float32)
+        r = rng.uniform(0.18, 0.4, 3).astype(np.float32)
+        d = (
+            ((x - c[0]) / r[0]) ** 2
+            + ((y - c[1]) / r[1]) ** 2
+            + ((z - c[2]) / r[2]) ** 2
+        )
+        body = np.maximum(body, (1.0 - d).astype(np.float32))
+
+    field = body + 0.55 * noise
+    # Choose the iso threshold to hit the requested occupancy.
+    thresh = np.quantile(field, 1.0 - occupancy_target)
+    density = np.clip((field - thresh) * 2.5, 0.0, 1.0).astype(np.float32)
+    h = n // 2
+    return dense_grid_from_array(
+        density, origin_ijk=(-h, -h, -h), voxel_size=voxel_size
+    )

@@ -79,24 +79,40 @@ def make_global_ray_batch(
         pids = np.concatenate([pids, np.full((pad,), npix - 1, np.int32)])
     raster_sh = NamedSharding(mesh, P("rays", None))
     pids_sh = NamedSharding(mesh, P("rays"))
-    raster_g = jax.make_array_from_process_local_data(raster_sh, raster)
-    pids_g = jax.make_array_from_process_local_data(pids_sh, pids)
+    # Every process computes the FULL batch (it is cheap and deterministic);
+    # passing global_shape tells jax the data is global, so it slices out
+    # this process's addressable shards instead of concatenating per-process
+    # contributions.
+    raster_g = jax.make_array_from_process_local_data(
+        raster_sh, raster, global_shape=raster.shape
+    )
+    pids_g = jax.make_array_from_process_local_data(
+        pids_sh, pids, global_shape=pids.shape
+    )
     return raster_g, pids_g, npix
 
 
 def gather_film_to_host(film: jax.Array) -> Optional[np.ndarray]:
     """Fetch the (possibly sharded) film to host memory on process 0.
 
-    Returns the numpy film on process 0, None elsewhere.
+    Returns the numpy film on process 0, None elsewhere. Handles all three
+    layouts: fully addressable (single process), fully replicated (every host
+    holds a copy — e.g. psum'd gradients), and cross-host sharded (shards are
+    allgathered tiled, one DCN collective).
     """
-    gathered = jax.experimental.multihost_utils.process_allgather(film, tiled=False) \
-        if jax.process_count() > 1 else film
-    if jax.process_index() != 0:
-        return None
-    arr = np.asarray(gathered)
-    if arr.ndim == film.ndim + 1:  # allgather stacked identical replicas
-        arr = arr[0]
-    return arr
+    if film.is_fully_addressable:
+        arr = np.asarray(film)
+    else:
+        if not film.is_fully_replicated:
+            # One XLA all-gather: reshard to fully-replicated on the array's
+            # own mesh (handles partial replication correctly, which
+            # multihost_utils.process_allgather does not).
+            sh = film.sharding
+            film = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(sh.mesh, P())
+            )(film)
+        arr = np.asarray(film.addressable_data(0))
+    return arr if jax.process_index() == 0 else None
 
 
 def replicate(mesh: Mesh, tree):

@@ -1,0 +1,762 @@
+"""Pallas TPU ray-integration megakernel: the fused wavefront step.
+
+Why this exists (measured on TPU v5e, see PERF.md): XLA compiles the
+wavefront step (render/integrator.py make_step) into 13 fusions + 17 copies
++ 8 custom-calls per iteration — the ~100 B/lane state round-trips HBM at
+every fusion boundary, ~1,075 bytes/lane/iteration against an algorithmic
+floor of ~250, leaving the loop ~10x off speed-of-light. This module fuses
+the ENTIRE transport step — free-flight sampling, segment derivation,
+delta-tracking events, blackbody emission, NEE ratio tracking, HG redirect,
+retire/resume logic, and the PCG4D counter RNG — into ONE Pallas program per
+iteration, so per-lane state crosses HBM exactly once per iteration.
+
+The single piece that stays in XLA is the per-lane random row fetch from the
+fused corner/majorant table: Mosaic's only dynamic gather
+(tpu.dynamic_gather) requires index arrays shaped like the table, which only
+fits tiny shuffle LUTs — the XLA gather engine is the hardware path for
+random row fetches (measured ~150 GB/s on 32 B rows). The loop is therefore
+*software-pipelined around the gather*:
+
+    kernel_i:  finish iteration i   (events, using rho/majorants fetched
+                                     at the point kernel_{i-1} requested)
+               start iteration i+1  (free flight, emit the next gather
+                                     point lp' and collide' flag)
+    fetch_i+1: rho/bmaj/smaj = one row gather + trilinear dot  (XLA fusion)
+
+which is an exact rotation of the reference's sampling loop
+(/root/reference/src/majorant_transmittance_sampler.cpp:21-81 fused with
+/root/reference/src/worker.cpp:92-208) — every lane consumes the identical
+PCG4D draw sequence as the XLA path (integer hashing is exact), so event
+decisions match the XLA integrator except where f32 transcendental rounding
+(log1p/sin/cos differ by ulps between XLA and Mosaic lowerings) flips a
+knife-edge branch; renders are statistically identical and that equivalence
+is tested (tests/test_megakernel.py).
+
+State is stored SoA — one [N/128, 128] f32/i32 array per field — which also
+removes the 4/3 padding XLA's [N,3] T(4,128) layouts pay.
+
+Scope: the forward render path (trace_rays_fused). Gradients use diff/prb.py
+whose forward is interchangeable. Falls back to the XLA loop automatically
+off-TPU (interpret=True runs the same kernel for tests on CPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grids.majorant import BRICK, SUPER
+from ..models.medium import Medium
+from .integrator import IntegratorParams, _LOOKAHEAD, _TINY
+
+LANE = 128  # TPU lane width; all per-lane arrays are [rows, LANE]
+_U32_SCALE = float(np.float32(2.0 ** -32))
+_ONE_MINUS_EPS = float(np.float32(1.0 - 2.0 ** -24))
+
+CAM = 0
+SHADOW = 1
+DONE = 2
+
+# Per-lane state fields, SoA. Order matters: it is the pallas_call signature.
+STATE_F32 = (
+    "ox", "oy", "oz", "dx", "dy", "dz", "t", "t_exit", "sig_seg", "t_seg",
+    "Lx", "Ly", "Lz", "pox", "poy", "poz", "pdx", "pdy", "pdz",
+    "T_ray", "phase_val",
+)
+STATE_I32 = ("depth", "mode", "ctr")
+# Pipeline registers: iteration i's gather request + free-flight results,
+# produced by kernel_{i-1}, consumed (with the fetched rho) by kernel_i.
+# u1..u3 are iteration i's event/HG/RR draws: kernel_{i-1}'s single PCG4D
+# call produces all four outputs for counter i — u0 drives its own free
+# flight, the rest ride the pipe (halves the emulated-u32-multiply cost,
+# the kernel's hottest op class on the VPU).
+PIPE_F32 = ("lpx", "lpy", "lpz", "t_cand", "t_next", "u1", "u2", "u3")
+PIPE_I32 = ("collide",)  # 0/1
+
+
+def _pcg4d(a, b, c, d):
+    """PCG4D on uint32 arrays — bitwise identical to utils/rng.pcg4d."""
+    v0 = a * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    v1 = b * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    v2 = c * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    v3 = d * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    v0 = v0 ^ (v0 >> 16)
+    v1 = v1 ^ (v1 >> 16)
+    v2 = v2 ^ (v2 >> 16)
+    v3 = v3 ^ (v3 >> 16)
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    return v0, v1, v2, v3
+
+
+def _u32_to_f32(v):
+    """uint32 -> float32 value conversion, bitwise equal to v.astype(f32).
+
+    Mosaic has no uint32->f32 cast; decompose into two 16-bit halves (each
+    exactly representable) — hi*65536 is exact, so the final add performs the
+    single round-to-nearest that a direct conversion would.
+    """
+    hi = pltpu.bitcast(v >> 16, jnp.int32).astype(jnp.float32)
+    lo = pltpu.bitcast(v & jnp.uint32(0xFFFF), jnp.int32).astype(jnp.float32)
+    return hi * 65536.0 + lo
+
+
+def _uniform(v):
+    return jnp.minimum(_u32_to_f32(v) * _U32_SCALE, _ONE_MINUS_EPS)
+
+
+def _to_u32(v_i32):
+    return pltpu.bitcast(v_i32, jnp.uint32)
+
+
+def _safe_inv1(d):
+    mag = jnp.maximum(jnp.abs(d), 1e-12)
+    return jnp.sign(d) * (1.0 / mag) + jnp.where(d == 0.0, 1e12, 0.0)
+
+
+def _clip3(ox, oy, oz, dx, dy, dz, lo, hi, t_min=1e-4):
+    """SoA slab clip against the cube [lo, hi]^3 (integrator.clip_ray)."""
+    t_lo = None
+    t_hi = None
+    for o_, d_ in ((ox, dx), (oy, dy), (oz, dz)):
+        inv = _safe_inv1(d_)
+        ta = (lo - o_) * inv
+        tb = (hi - o_) * inv
+        lo_ax = jnp.minimum(ta, tb)
+        hi_ax = jnp.maximum(ta, tb)
+        t_lo = lo_ax if t_lo is None else jnp.maximum(t_lo, lo_ax)
+        t_hi = hi_ax if t_hi is None else jnp.minimum(t_hi, hi_ax)
+    t0 = jnp.maximum(t_lo, t_min)
+    return t0, t_hi, t0 < t_hi
+
+
+def _clip3_box(ox, oy, oz, dx, dy, dz, los, his, t_min=1e-4):
+    """SoA slab clip against per-axis bounds (los/his are 3-tuples)."""
+    t_lo = None
+    t_hi = None
+    for o_, d_, lo, hi in ((ox, dx, los[0], his[0]), (oy, dy, los[1], his[1]),
+                           (oz, dz, los[2], his[2])):
+        inv = _safe_inv1(d_)
+        ta = (lo - o_) * inv
+        tb = (hi - o_) * inv
+        lo_ax = jnp.minimum(ta, tb)
+        hi_ax = jnp.maximum(ta, tb)
+        t_lo = lo_ax if t_lo is None else jnp.maximum(t_lo, lo_ax)
+        t_hi = hi_ax if t_hi is None else jnp.minimum(t_hi, hi_ax)
+    t0 = jnp.maximum(t_lo, t_min)
+    return t0, t_hi, t0 < t_hi
+
+
+def _cell_exit3(ox, oy, oz, dx, dy, dz, lox, loy, loz, hix, hiy, hiz):
+    out = None
+    for o_, d_, lo, hi in ((ox, dx, lox, hix), (oy, dy, loy, hiy), (oz, dz, loz, hiz)):
+        inv = _safe_inv1(d_)
+        ta = (lo - o_) * inv
+        tb = (hi - o_) * inv
+        mx = jnp.maximum(ta, tb)
+        out = mx if out is None else jnp.minimum(out, mx)
+    return out
+
+
+def _hg_phase(cos_theta, g):
+    den = 1.0 + g * g + 2.0 * g * cos_theta
+    return (1.0 / (4.0 * np.pi)) * (1.0 - g * g) / (
+        den * jnp.sqrt(jnp.maximum(den, 1e-12))
+    )
+
+
+def _sample_hg3(wx, wy, wz, u1, u2, g):
+    """SoA HG direction sampling, mirroring ops/phase.sample_henyey_greenstein."""
+    g = jnp.float32(g)
+    g2 = g * g
+    denom = 1.0 + g - 2.0 * g * u1
+    sqr = (1.0 - g2) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    aniso = (1.0 + g2 - sqr * sqr) / (2.0 * jnp.where(jnp.abs(g) < 1e-12, 1e-12, g))
+    iso = 1.0 - 2.0 * u1
+    cos_theta = jnp.where(jnp.abs(g) < 1e-3, iso, aniso)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * np.pi * u2
+    sin_c = jnp.clip(sin_theta, -1.0, 1.0)
+    lx = sin_c * jnp.cos(phi)
+    ly = sin_c * jnp.sin(phi)
+    lz = jnp.clip(cos_theta, -1.0, 1.0)
+    inv_n = 1.0 / jnp.sqrt(lx * lx + ly * ly + lz * lz)
+    lx, ly, lz = lx * inv_n, ly * inv_n, lz * inv_n
+    # Branchless ONB (Duff et al.) with w as the z axis (ops/phase.py).
+    sign = jnp.where(wz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + wz)
+    b = wx * wy * a
+    v2x, v2y, v2z = 1.0 + sign * a * wx * wx, sign * b, -sign * wx
+    v3x, v3y, v3z = b, sign + a * wy * wy, -wy
+    nx = lx * v2x + ly * v3x + lz * wx
+    ny = lx * v2y + ly * v3y + lz * wy
+    nz = lx * v2z + ly * v3z + lz * wz
+    return nx, ny, nz
+
+
+def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
+    """The fused step kernel body.
+
+    State/pipe/fetch fields travel PACKED — one [n_fields, rows, 128] array
+    per dtype — so each grid program issues a handful of large DMAs instead
+    of ~56 small ones (DMA issue overhead dominated the first cut).
+
+    inputs:  pids [r,128], stream (SMEM [1,1]),
+             state_f32 [21,r,128], state_i32 [3,r,128],
+             pipe_f32 [5,r,128], pipe_i32 [1,r,128],
+             fetch_f32 [3 or 6, r, 128]  (rho, bmaj, smaj[, bb_xyz])
+    outputs: state_f32', state_i32', pipe_f32', pipe_i32'
+    """
+    dgrid = medium.density
+    Ox, Oy, Oz = (float(v) for v in dgrid.origin_ijk)
+    X, Y, Z = dgrid.shape
+    voxel = float(dgrid.voxel_size)
+    sigma_a, sigma_s = params.sigma_a, params.sigma_s
+    sigma_t = params.sigma_t
+    g_hg = params.hg_g
+    nee_on = params.nee_enabled
+
+    wi_np = np.asarray(params.distant_inv_direction, np.float64)
+    wi_np = wi_np / np.linalg.norm(wi_np)
+    wix, wiy, wiz = (float(v) for v in wi_np.astype(np.float32))
+    Li = tuple(
+        float(c) * params.distant_multiplier for c in params.distant_xyz
+    )
+    L_inf = tuple(
+        float(c) * params.infinite_multiplier for c in params.infinite_xyz
+    )
+    le_scale = params.le_scale
+    max_depth = params.max_depth
+
+    n_state = len(STATE_F32) + len(STATE_I32)
+    n_pipe = len(PIPE_F32) + len(PIPE_I32)
+
+    def kernel(
+        pids_ref, stream_ref, sf_in, si_in, pf_in, pi_in, fetch_in,
+        sf_out, si_out, pf_out, pi_out,
+    ):
+        st = {name: sf_in[i] for i, name in enumerate(STATE_F32)}
+        st.update({name: si_in[i] for i, name in enumerate(STATE_I32)})
+        pipe = {name: pf_in[i] for i, name in enumerate(PIPE_F32)}
+        pipe.update({name: pi_in[i] for i, name in enumerate(PIPE_I32)})
+        rho = fetch_in[0]
+        bmaj = fetch_in[1]
+        smaj = fetch_in[2]
+        if emission_on:
+            bb_xyz = (fetch_in[3], fetch_in[4], fetch_in[5])
+        pids = pids_ref[:]
+        stream = stream_ref[0, 0]
+
+        # ================= finish iteration i =================
+        active = st["mode"] != DONE
+        in_cam = st["mode"] == CAM
+        in_shw = st["mode"] == SHADOW
+        collide = (pipe["collide"] != 0) & active
+        cross = active & (~collide)
+        exited = cross & (pipe["t_next"] >= st["t_exit"] - 1e-6)
+        fetchm = cross & (~exited)
+        sig = jnp.maximum(st["sig_seg"], _TINY)
+        sigma_maj = st["sig_seg"]
+
+        rho_pos = rho > 0.0
+        real_col = collide & rho_pos
+        zero_col = collide & (~rho_pos)
+
+        # segment derivation for fetch lanes (from the lookahead point)
+        use_super = smaj <= 0.0
+        cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
+        inv_cs = 1.0 / cell_sz
+        clx = jnp.floor(pipe["lpx"] * inv_cs) * cell_sz + Ox
+        cly = jnp.floor(pipe["lpy"] * inv_cs) * cell_sz + Oy
+        clz = jnp.floor(pipe["lpz"] * inv_cs) * cell_sz + Oz
+        t_cell = _cell_exit3(
+            st["ox"], st["oy"], st["oz"], st["dx"], st["dy"], st["dz"],
+            clx, cly, clz, clx + cell_sz, cly + cell_sz, clz + cell_sz,
+        )
+        t_seg_f = jnp.minimum(t_cell, st["t_exit"])
+        t_seg_f = jnp.maximum(t_seg_f, pipe["t_next"] + 2 * _LOOKAHEAD)
+        sig_seg_f = jnp.where(use_super, 0.0, bmaj) * sigma_t
+
+        # draws of iteration i (same counters as the XLA path), carried in
+        # the pipe from the previous kernel's single PCG4D call
+        u1, u2, u3 = pipe["u1"], pipe["u2"], pipe["u3"]
+
+        # ---- CAMERA events ----
+        cam_col = in_cam & real_col
+        p_a = sigma_a * rho / sig
+        p_s = sigma_s * rho / sig
+        p_n = jnp.maximum(1.0 - p_a - p_s, 0.0)
+
+        Lx, Ly, Lz = st["Lx"], st["Ly"], st["Lz"]
+        if emission_on:
+            emw = jnp.where(cam_col, p_a * le_scale, 0.0)
+            Lx = Lx + emw * bb_xyz[0]
+            Ly = Ly + emw * bb_xyz[1]
+            Lz = Lz + emw * bb_xyz[2]
+
+        # 3-way discrete event (utils/rng.sample_discrete3)
+        total = p_n + p_a + p_s
+        xval = u1 * total
+        is_null = xval <= p_n
+        is_abs = (~is_null) & (xval <= p_n + p_a)
+        is_scat = (~is_null) & (~is_abs)
+
+        cam_null = cam_col & is_null
+        cam_abs = cam_col & is_abs
+        cam_scat = cam_col & is_scat
+
+        ndx, ndy, ndz = _sample_hg3(st["dx"], st["dy"], st["dz"], u2, u3, g_hg)
+        cos_wi = st["dx"] * wix + st["dy"] * wiy + st["dz"] * wiz
+        phase_new = _hg_phase(cos_wi, g_hg)
+
+        depth_new = jnp.where(cam_scat, st["depth"] + 2, st["depth"])
+        pcol_x = pipe["lpx"] + Ox
+        pcol_y = pipe["lpy"] + Oy
+        pcol_z = pipe["lpz"] + Oz
+        pox = jnp.where(cam_scat, pcol_x, st["pox"])
+        poy = jnp.where(cam_scat, pcol_y, st["poy"])
+        poz = jnp.where(cam_scat, pcol_z, st["poz"])
+        pdx = jnp.where(cam_scat, ndx, st["pdx"])
+        pdy = jnp.where(cam_scat, ndy, st["pdy"])
+        pdz = jnp.where(cam_scat, ndz, st["pdz"])
+        phase_val = jnp.where(cam_scat, phase_new, st["phase_val"])
+
+        # ---- SHADOW events (ratio tracking + RR; worker.cpp:65-86) ----
+        shw_col = in_shw & real_col
+        sigma_n = jnp.maximum(0.0, sigma_maj - sigma_t * rho)
+        T_after = st["T_ray"] * (sigma_n / sig)
+        rr = T_after <= 0.05
+        rr_kill = rr & (u1 < 0.75)
+        T_after = jnp.where(rr_kill, 0.0, jnp.where(rr, T_after / 0.25, T_after))
+        T_ray = jnp.where(shw_col, T_after, st["T_ray"])
+        shw_dead = shw_col & (T_ray <= 0.0)
+        shw_exit = in_shw & exited
+        shadow_finish = shw_exit | shw_dead
+        contrib_w = phase_val * T_ray
+        Lx = Lx + jnp.where(shadow_finish, contrib_w * Li[0], 0.0)
+        Ly = Ly + jnp.where(shadow_finish, contrib_w * Li[1], 0.0)
+        Lz = Lz + jnp.where(shadow_finish, contrib_w * Li[2], 0.0)
+
+        # ---- resume / retire ----
+        if nee_on:
+            start_shadow = cam_scat
+            resume = shadow_finish
+        else:
+            start_shadow = jnp.zeros_like(cam_scat)
+            resume = shadow_finish | cam_scat
+
+        nox = jnp.where(start_shadow, pcol_x, pox)
+        noy = jnp.where(start_shadow, pcol_y, poy)
+        noz = jnp.where(start_shadow, pcol_z, poz)
+        ndx2 = jnp.where(start_shadow, wix, pdx)
+        ndy2 = jnp.where(start_shadow, wiy, pdy)
+        ndz2 = jnp.where(start_shadow, wiz, pdz)
+        t0n, t1n, hitn = _clip3_box(
+            nox, noy, noz, ndx2, ndy2, ndz2,
+            (Ox, Oy, Oz), (Ox + X, Oy + Y, Oz + Z),
+        )
+
+        depth_ok = depth_new < max_depth
+        resume_ok = resume & hitn & depth_ok
+        resume_escape = resume & ((~hitn) | (~depth_ok))
+
+        start_shadow_ok = start_shadow & hitn
+        shadow_miss = start_shadow & (~hitn)
+        Lx = Lx + jnp.where(shadow_miss, phase_val * Li[0], 0.0)
+        Ly = Ly + jnp.where(shadow_miss, phase_val * Li[1], 0.0)
+        Lz = Lz + jnp.where(shadow_miss, phase_val * Li[2], 0.0)
+        t0p, t1p, hitp = _clip3_box(
+            pox, poy, poz, pdx, pdy, pdz,
+            (Ox, Oy, Oz), (Ox + X, Oy + Y, Oz + Z),
+        )
+        miss_resume_ok = shadow_miss & hitp & depth_ok
+        miss_resume_escape = shadow_miss & ((~hitp) | (~depth_ok))
+
+        cam_exit = in_cam & exited
+        becomes_done_inf = cam_exit | resume_escape | miss_resume_escape
+        Lx = Lx + jnp.where(becomes_done_inf, L_inf[0], 0.0)
+        Ly = Ly + jnp.where(becomes_done_inf, L_inf[1], 0.0)
+        Lz = Lz + jnp.where(becomes_done_inf, L_inf[2], 0.0)
+        becomes_done_term = cam_abs
+
+        mode = st["mode"]
+        mode = jnp.where(becomes_done_inf | becomes_done_term, DONE, mode)
+        mode = jnp.where(start_shadow_ok, SHADOW, mode)
+        mode = jnp.where(resume_ok | miss_resume_ok, CAM, mode)
+
+        ox = jnp.where(start_shadow_ok, nox, st["ox"])
+        oy = jnp.where(start_shadow_ok, noy, st["oy"])
+        oz = jnp.where(start_shadow_ok, noz, st["oz"])
+        dx = jnp.where(start_shadow_ok, ndx2, st["dx"])
+        dy = jnp.where(start_shadow_ok, ndy2, st["dy"])
+        dz = jnp.where(start_shadow_ok, ndz2, st["dz"])
+        t = jnp.where(start_shadow_ok, t0n, st["t"])
+        t_exit = jnp.where(start_shadow_ok, t1n, st["t_exit"])
+
+        ox = jnp.where(resume_ok, pox, ox)
+        oy = jnp.where(resume_ok, poy, oy)
+        oz = jnp.where(resume_ok, poz, oz)
+        dx = jnp.where(resume_ok, pdx, dx)
+        dy = jnp.where(resume_ok, pdy, dy)
+        dz = jnp.where(resume_ok, pdz, dz)
+        t_res = jnp.where(resume & (~start_shadow), t0n, t0p)
+        t_exit_res = jnp.where(resume & (~start_shadow), t1n, t1p)
+        t = jnp.where(resume_ok, t_res, t)
+        t_exit = jnp.where(resume_ok, t_exit_res, t_exit)
+        ox = jnp.where(miss_resume_ok, pox, ox)
+        oy = jnp.where(miss_resume_ok, poy, oy)
+        oz = jnp.where(miss_resume_ok, poz, oz)
+        dx = jnp.where(miss_resume_ok, pdx, dx)
+        dy = jnp.where(miss_resume_ok, pdy, dy)
+        dz = jnp.where(miss_resume_ok, pdz, dz)
+        t = jnp.where(miss_resume_ok, t0p, t)
+        t_exit = jnp.where(miss_resume_ok, t1p, t_exit)
+
+        plain_adv = cam_null | zero_col | (in_shw & real_col & ~shadow_finish)
+        t = jnp.where(plain_adv, pipe["t_cand"], t)
+        t = jnp.where(fetchm, pipe["t_next"], t)
+
+        new_ray = start_shadow_ok | resume_ok | miss_resume_ok
+        sig_seg = jnp.where(fetchm, sig_seg_f, st["sig_seg"])
+        sig_seg = jnp.where(new_ray, 0.0, sig_seg)
+        t_seg = jnp.where(fetchm, t_seg_f, st["t_seg"])
+        t_seg = jnp.where(new_ray, t, t_seg)
+
+        T_ray = jnp.where(start_shadow_ok, 1.0, T_ray)
+        ctr = st["ctr"] + 1
+
+        # ================= start iteration i+1 =================
+        active2 = mode != DONE
+        w0, w1, w2, w3 = _pcg4d(
+            _to_u32(pids),
+            jnp.broadcast_to(stream, pids.shape),
+            _to_u32(ctr),
+            jnp.zeros(pids.shape, jnp.uint32),
+        )
+        u0n = _uniform(w0)
+        has_seg = t_seg > t
+        sig2 = jnp.maximum(sig_seg, _TINY)
+        dt_w = -jnp.log1p(-u0n) / sig2
+        t_cand2 = t + dt_w / voxel
+        collide2 = active2 & has_seg & (sig_seg > 0.0) & (t_cand2 < t_seg)
+        t_next2 = jnp.where(has_seg, t_seg, t)
+        t_gather = jnp.where(collide2, t_cand2, t_next2 + _LOOKAHEAD)
+        lpx2 = ox + dx * t_gather - Ox
+        lpy2 = oy + dy * t_gather - Oy
+        lpz2 = oz + dz * t_gather - Oz
+
+        # ---- write state (packed) ----
+        outs = dict(
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, t=t, t_exit=t_exit,
+            sig_seg=sig_seg, t_seg=t_seg, Lx=Lx, Ly=Ly, Lz=Lz,
+            pox=pox, poy=poy, poz=poz, pdx=pdx, pdy=pdy, pdz=pdz,
+            T_ray=T_ray, phase_val=phase_val,
+            depth=depth_new, mode=mode, ctr=ctr,
+        )
+        for i, n in enumerate(STATE_F32):
+            sf_out[i] = outs[n]
+        for i, n in enumerate(STATE_I32):
+            si_out[i] = outs[n]
+        pouts = dict(
+            lpx=lpx2, lpy=lpy2, lpz=lpz2, t_cand=t_cand2, t_next=t_next2,
+            u1=_uniform(w1), u2=_uniform(w2), u3=_uniform(w3),
+            collide=collide2.astype(jnp.int32),
+        )
+        for i, n in enumerate(PIPE_F32):
+            pf_out[i] = pouts[n]
+        for i, n in enumerate(PIPE_I32):
+            pi_out[i] = pouts[n]
+
+    return kernel
+
+
+def _as2d(x):
+    return x.reshape(-1, LANE)
+
+
+def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
+               lpx, lpy, lpz, collide):
+    """The XLA half of the pipelined iteration: one fused-row gather + dots.
+
+    Computes (rho, bmaj, smaj[, bb_xyz]) at the kernel-requested point. All
+    math here fuses into the gather's consumer fusion. Mirrors the packed-path
+    of integrator.make_traversal exactly.
+    """
+    dgrid = medium.density
+    X, Y, Z = dgrid.shape
+    BX, BY, BZ = medium.majorants.brick_maj.shape
+    fused = medium.density_rows
+    assert fused is not None, "megakernel requires the packed fused rows"
+    n_corner_rows = (X + 1) * (Y + 1) * (Z + 1)
+
+    ix = jnp.floor(lpx).astype(jnp.int32)
+    iy = jnp.floor(lpy).astype(jnp.int32)
+    iz = jnp.floor(lpz).astype(jnp.int32)
+    fx = lpx - ix.astype(lpx.dtype)
+    fy = lpy - iy.astype(lpy.dtype)
+    fz = lpz - iz.astype(lpz.dtype)
+    valid = (
+        (ix >= -1) & (ix <= X - 1) & (iy >= -1) & (iy <= Y - 1)
+        & (iz >= -1) & (iz <= Z - 1)
+    )
+    rx = jnp.clip(ix + 1, 0, X)
+    ry = jnp.clip(iy + 1, 0, Y)
+    rz = jnp.clip(iz + 1, 0, Z)
+    base = (rx * (Y + 1) + ry) * (Z + 1) + rz
+
+    bi = jnp.floor(lpx * (1.0 / BRICK)).astype(jnp.int32)
+    bj = jnp.floor(lpy * (1.0 / BRICK)).astype(jnp.int32)
+    bk = jnp.floor(lpz * (1.0 / BRICK)).astype(jnp.int32)
+    b_valid = (
+        (bi >= 0) & (bi < BX) & (bj >= 0) & (bj < BY) & (bk >= 0) & (bk < BZ)
+    )
+    b_flat = (
+        jnp.clip(bi, 0, BX - 1) * BY + jnp.clip(bj, 0, BY - 1)
+    ) * BZ + jnp.clip(bk, 0, BZ - 1)
+
+    collide_b = collide != 0
+    idx = jnp.where(collide_b, base, n_corner_rows + b_flat)
+    row = jnp.take(fused, idx.reshape(-1), axis=0, mode="clip").reshape(
+        idx.shape + (8,)
+    )
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    rho = (
+        row[..., 0] * (gx * gy * gz) + row[..., 1] * (gx * gy * fz)
+        + row[..., 2] * (gx * fy * gz) + row[..., 3] * (gx * fy * fz)
+        + row[..., 4] * (fx * gy * gz) + row[..., 5] * (fx * gy * fz)
+        + row[..., 6] * (fx * fy * gz) + row[..., 7] * (fx * fy * fz)
+    )
+    rho = jnp.where(valid, rho, 0.0)
+    bmaj = jnp.where(b_valid, row[..., 0], 0.0)
+    smaj = jnp.where(b_valid, row[..., 1], 0.0)
+
+    out = [rho, bmaj, smaj]
+    emission_on = medium.has_temperature and params.le_scale != 0.0
+    if emission_on:
+        # Temperature trilinear sample at the same (collision) point, via the
+        # temperature grid's own transform (worker.cpp:153-155), then the
+        # blackbody LUT lerp (utils/spectral.py) — all in this fusion.
+        from ..utils.spectral import N_BREAKPOINTS, RESOLUTION, TEMP_MAX
+        from ..grids.grid import sample_trilinear_rows
+
+        dg, tg = medium.density, medium.temperature
+        voxel = dg.voxel_size
+        wx = (lpx + dg.origin_ijk[0]) * voxel + dg.world_offset[0]
+        wy = (lpy + dg.origin_ijk[1]) * voxel + dg.world_offset[1]
+        wz = (lpz + dg.origin_ijk[2]) * voxel + dg.world_offset[2]
+        tpx = (wx - tg.world_offset[0]) / tg.voxel_size - tg.origin_ijk[0]
+        tpy = (wy - tg.world_offset[1]) / tg.voxel_size - tg.origin_ijk[1]
+        tpz = (wz - tg.world_offset[2]) / tg.voxel_size - tg.origin_ijk[2]
+        tp = jnp.stack([tpx, tpy, tpz], axis=-1)
+        assert medium.temperature_rows is not None
+        temp_adim = sample_trilinear_rows(medium.temperature_rows, tg.shape, tp)
+        temp_k = temp_adim * params.temperature_scale + params.temperature_offset
+        tc = jnp.clip(temp_k, 0.0, TEMP_MAX - 1e-3)
+        ti = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
+        ti = jnp.clip(ti, 0, N_BREAKPOINTS - 2)
+        frac = tc / RESOLUTION - (ti - 1).astype(tc.dtype)
+        lo = jnp.take(bb_table, ti.reshape(-1), axis=0).reshape(ti.shape + (3,))
+        hi = jnp.take(bb_table, (ti + 1).reshape(-1), axis=0).reshape(ti.shape + (3,))
+        bb = lo + (hi - lo) * frac[..., None]
+        bb = jnp.where(temp_k[..., None] <= 0.0, 0.0, bb)
+        out.extend([bb[..., 0], bb[..., 1], bb[..., 2]])
+    return tuple(out)
+
+
+def _pallas_step_call(medium, params, emission_on, n_lanes, block_lanes,
+                      interpret):
+    kernel = make_kernel(medium, params, emission_on)
+    rows = n_lanes // LANE
+    brows = block_lanes // LANE
+    grid = (rows // brows,)
+    n_fetch = 6 if emission_on else 3
+    nf, ni = len(STATE_F32), len(STATE_I32)
+    npf, npi = len(PIPE_F32), len(PIPE_I32)
+
+    def packed(n_fields):
+        return pl.BlockSpec(
+            (n_fields, brows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    blk2d = pl.BlockSpec((brows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = [
+        blk2d, smem_scalar, packed(nf), packed(ni), packed(npf), packed(npi),
+        packed(n_fetch),
+    ]
+    out_specs = (packed(nf), packed(ni), packed(npf), packed(npi))
+    out_shape = (
+        jax.ShapeDtypeStruct((nf, rows, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((ni, rows, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((npf, rows, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((npi, rows, LANE), jnp.int32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+def trace_rays_fused(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table,
+    o_world: jnp.ndarray,
+    d_world: jnp.ndarray,
+    pixel_ids: jnp.ndarray,
+    stream,
+    block_lanes: int = 16384,
+    interpret: bool = False,
+):
+    """Forward render via the Pallas megakernel; same contract as trace_rays.
+
+    Returns (radiance [N,3], iterations [], n_capped []). N must be a multiple
+    of 1024 (callers pad; see parallel/shard.pad_ray_batch). Requires the
+    medium's packed fused rows. Consumes the identical PCG4D draw sequence as
+    trace_rays (statistically identical renders; individual lanes can differ
+    where transcendental rounding flips a knife-edge event).
+    """
+    from .integrator import init_state
+
+    N = o_world.shape[0]
+    assert N % 1024 == 0, "lane count must be a multiple of 1024 (pad rays)"
+    block_lanes = min(block_lanes, N)
+
+    emission_on = medium.has_temperature and params.le_scale != 0.0
+
+    st0 = init_state(medium, o_world, d_world, params)
+
+    # SoA state from the AoS init (one-time, outside the loop).
+    state = dict(
+        ox=st0.o[:, 0], oy=st0.o[:, 1], oz=st0.o[:, 2],
+        dx=st0.d[:, 0], dy=st0.d[:, 1], dz=st0.d[:, 2],
+        t=st0.t, t_exit=st0.t_exit, sig_seg=st0.sig_seg, t_seg=st0.t_seg,
+        Lx=st0.L[:, 0], Ly=st0.L[:, 1], Lz=st0.L[:, 2],
+        pox=st0.pend_o[:, 0], poy=st0.pend_o[:, 1], poz=st0.pend_o[:, 2],
+        pdx=st0.pend_d[:, 0], pdy=st0.pend_d[:, 1], pdz=st0.pend_d[:, 2],
+        T_ray=st0.T_ray, phase_val=st0.phase_val,
+        depth=st0.depth, mode=st0.mode, ctr=st0.ctr,
+    )
+
+    # Prologue: first half of iteration 0 in plain jnp (once, not hot).
+    from ..utils import rng as vrng
+
+    u = vrng.counter_uniforms(pixel_ids, stream, st0.ctr, 4)
+    active0 = state["mode"] != DONE
+    has_seg = state["t_seg"] > state["t"]
+    sig0 = jnp.maximum(state["sig_seg"], _TINY)
+    dt_w = -jnp.log1p(-u[:, 0]) / sig0
+    t_cand0 = state["t"] + dt_w / medium.density.voxel_size
+    collide0 = active0 & has_seg & (state["sig_seg"] > 0.0) & (t_cand0 < state["t_seg"])
+    t_next0 = jnp.where(has_seg, state["t_seg"], state["t"])
+    t_gather = jnp.where(collide0, t_cand0, t_next0 + _LOOKAHEAD)
+    O = jnp.asarray(medium.density.origin_ijk, jnp.float32)
+    pipe = dict(
+        lpx=state["ox"] + state["dx"] * t_gather - O[0],
+        lpy=state["oy"] + state["dy"] * t_gather - O[1],
+        lpz=state["oz"] + state["dz"] * t_gather - O[2],
+        t_cand=t_cand0,
+        t_next=t_next0,
+        u1=u[:, 1], u2=u[:, 2], u3=u[:, 3],
+        collide=collide0.astype(jnp.int32),
+    )
+
+    stream_arr = jnp.broadcast_to(
+        jnp.asarray(stream, jnp.uint32).reshape(-1)[0], (1, 1)
+    ).astype(jnp.uint32)
+
+    i_lpx, i_lpy, i_lpz = (PIPE_F32.index(n) for n in ("lpx", "lpy", "lpz"))
+    i_mode = STATE_I32.index("mode")
+    iLx = STATE_F32.index("Lx")
+
+    # Staged compaction (same idea as integrator.trace_rays): most lanes
+    # retire within tens of iterations; once the alive tail fits a narrower
+    # (statically-shaped) buffer, gather alive lanes to the front and run a
+    # narrower loop. Widths stay multiples of 1024 so the kernel tiles.
+    widths = []
+    w = N
+    while w > 1024 and len(widths) < 8:
+        w = max(1024, -(-(w // 2) // 1024) * 1024)
+        widths.append(w)
+
+    def run_stage(state_t, pipe_t, pids_t, it, width, next_w):
+        blk = next(
+            b for b in (block_lanes, 16384, 8192, 4096, 2048, 1024)
+            if b <= width and width % b == 0
+        )
+        call = _pallas_step_call(
+            medium, params, emission_on, width, blk, interpret
+        )
+        pids2d = _as2d(pids_t.astype(jnp.int32))
+        sf = jnp.stack([_as2d(state_t[n]) for n in STATE_F32])
+        si = jnp.stack([_as2d(state_t[n]) for n in STATE_I32])
+        pf = jnp.stack([_as2d(pipe_t[n]) for n in PIPE_F32])
+        pi = jnp.stack([_as2d(pipe_t[n]) for n in PIPE_I32])
+
+        def body(carry):
+            sf, si, pf, pi, it, alive = carry
+            fetched = fetch_rows(
+                medium, params, bb_table,
+                pf[i_lpx], pf[i_lpy], pf[i_lpz], pi[0],
+            )
+            fe = jnp.stack(fetched)
+            sf, si, pf, pi = call(pids2d, stream_arr, sf, si, pf, pi, fe)
+            alive_out = jnp.sum((si[i_mode] != DONE).astype(jnp.int32))
+            return sf, si, pf, pi, it + 1, alive_out
+
+        def cond(carry):
+            *_, it, alive = carry
+            go = (it < params.max_iters) & (alive > 0)
+            if next_w is not None:
+                go = go & (alive > next_w)
+            return go
+
+        alive0 = jnp.sum((state_t["mode"] != DONE).astype(jnp.int32))
+        sf, si, pf, pi, it, alive = jax.lax.while_loop(
+            cond, body, (sf, si, pf, pi, it, alive0)
+        )
+        state_o = {n: sf[i].reshape(-1) for i, n in enumerate(STATE_F32)}
+        state_o.update({n: si[i].reshape(-1) for i, n in enumerate(STATE_I32)})
+        pipe_o = {n: pf[i].reshape(-1) for i, n in enumerate(PIPE_F32)}
+        pipe_o.update({n: pi[i].reshape(-1) for i, n in enumerate(PIPE_I32)})
+        return state_o, pipe_o, it
+
+    out = jnp.zeros((N, 3), jnp.float32)
+    idx_map = jnp.arange(N, dtype=jnp.int32)
+    pids_t = pixel_ids
+    it = jnp.int32(0)
+    width = N
+    for next_w in widths + [None]:
+        state, pipe, it = run_stage(state, pipe, pids_t, it, width, next_w)
+        L_stage = jnp.stack(
+            [state["Lx"], state["Ly"], state["Lz"]], axis=-1
+        )
+        out = out.at[idx_map].set(L_stage)
+        if next_w is None:
+            break
+        order = jnp.argsort((state["mode"] == DONE).astype(jnp.int32), stable=True)
+        keep = order[:next_w]
+        state = {k: v[keep] for k, v in state.items()}
+        pipe = {k: v[keep] for k, v in pipe.items()}
+        idx_map = idx_map[keep]
+        pids_t = pids_t[keep]
+        width = next_w
+
+    n_capped = jnp.sum((state["mode"] != DONE).astype(jnp.int32))
+    return out, it, n_capped
