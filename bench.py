@@ -82,40 +82,57 @@ def _camera(W, H, pos, look=(0.0, 0.0, 0.0), vfov=35.0, ratio=0.1):
     )
 
 
-def _render_throughput(medium, camera, params, W, H, spp, bb=None, seed=10):
-    """Returns rays/s over `spp` jitted waves (compile excluded)."""
+def _render_throughput(medium, camera, params, W, H, spp, bb=None, seed=10,
+                       waves_per_batch=None):
+    """Returns rays/s over `spp` samples/pixel (compile excluded).
+
+    Waves are batched into one flat ray batch of waves_per_batch * W * H
+    lanes per jitted call (per-lane RNG streams keep every wave's draws
+    identical to the one-wave-at-a-time path): larger wavefronts amortize
+    the loop's fixed per-iteration overheads, and the compaction stages pool
+    the alive tails of all batched waves.
+    """
     import jax
     import jax.numpy as jnp
 
     from volume_path_tracer_tpu.render.integrator import trace_rays
     from volume_path_tracer_tpu.utils import rng as vrng
 
+    npix = W * H
+    if waves_per_batch is None:
+        # Cap the batch near 1M lanes (state ~100 MB at 1M).
+        waves_per_batch = max(1, min(spp, (1 << 20) // npix))
+        while spp % waves_per_batch:
+            waves_per_batch -= 1
+    k = waves_per_batch
     ys, xs = np.mgrid[0:H, 0:W]
-    raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
-    pids = jnp.arange(W * H, dtype=jnp.int32)
+    raster1 = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
+    raster = jnp.asarray(np.tile(raster1, (k, 1)))
+    pids = jnp.asarray(np.tile(np.arange(npix, dtype=np.int32), k))
 
-    def wave_fn(medium_, camera_, raster_, pids_, seed_wave):
-        stream = vrng.mix_stream(seed_wave[0], seed_wave[1])
+    def batch_fn(medium_, camera_, raster_, pids_, seed_wave0):
+        waves = seed_wave0[1] + jnp.arange(k, dtype=jnp.uint32)
+        stream = jnp.repeat(vrng.mix_stream(seed_wave0[0], waves), npix)
         u_jit = vrng.counter_uniforms(pids_, stream, jnp.int32(2**31 - 1), 2)
         o_w, d_w = camera_.generate_rays(raster_, u_jit * 0.5)
         L, iters, n_capped = trace_rays(medium_, params, bb, o_w, d_w, pids_, stream)
-        return camera_.imaging_ratio * L, iters, n_capped
+        return camera_.imaging_ratio * jnp.sum(L.reshape(k, npix, 3), 0), iters, n_capped
 
-    wave_jit = jax.jit(wave_fn)
-    out, _, _ = wave_jit(medium, camera, raster, pids, jnp.asarray([seed, 0], jnp.uint32))
+    batch_jit = jax.jit(batch_fn)
+    out, _, _ = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, 1000], jnp.uint32))
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     acc = None
     ncap_total = 0
-    for wave in range(1, spp + 1):
-        L, _, ncap = wave_jit(medium, camera, raster, pids, jnp.asarray([seed, wave], jnp.uint32))
+    for w0 in range(1, spp + 1, k):
+        L, _, ncap = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, w0], jnp.uint32))
         acc = L if acc is None else acc + L
         ncap_total += int(ncap)
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
     assert bool(np.isfinite(np.asarray(acc)).all()), "non-finite radiance"
-    return W * H * spp / dt, ncap_total
+    return npix * spp / dt, ncap_total
 
 
 def bench_primary():

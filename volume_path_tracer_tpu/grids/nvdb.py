@@ -352,7 +352,9 @@ def read_nvdb_medium(path: str, pack: bool = True):
             world_offset=t.world_offset,
         )
     else:
-        print(f'[vpt] warning: {path} has no "temperature" grid; medium is non-emissive')
+        from ..utils import logging as vlog
+
+        vlog.warn(f'{path} has no "temperature" grid; medium is non-emissive')
     return Medium.from_grids(density, temperature, pack=pack)
 
 

@@ -72,6 +72,16 @@ DONE = 2
 _TINY = 1e-20  # python float: no device array at import time
 _LOOKAHEAD = 1e-3  # voxel units, mirrors the reference's t+1.0001 re-derive idea
 
+# Opportunistic superbrick segments: crossing a brick boundary costs one full
+# wavefront iteration (measured ~70% of all lane-steps on the bench scene),
+# while sampling under a LOOSER majorant costs extra (null) collisions. Any
+# majorant >= density is unbiased, so the traversal takes a whole 64-voxel
+# superbrick segment under the superbrick majorant whenever the expected
+# extra collisions (smaj - bmaj) * sigma_t * 64 * voxel are below this
+# threshold — for smooth density (smaj ~ bmaj) that's 8x fewer crossings at
+# the same collision rate. 0.0 recovers the empty-superbrick-only policy.
+_SUPER_TAU = 4.0
+
 
 @dataclasses.dataclass(frozen=True)
 class IntegratorParams:
@@ -275,8 +285,11 @@ def make_traversal(medium: Medium, params: IntegratorParams):
             smaj = jnp.where(b_valid, both[:, 1], 0.0)
 
         # ---- crossing lanes: derive the next segment (brick DDA advance) ----
-        # If the whole superbrick is empty, step over it in one go.
-        use_super = smaj <= 0.0
+        # Take the whole superbrick when it is empty OR when its (valid but
+        # looser) majorant costs fewer expected extra collisions than the
+        # brick crossings it saves (see _SUPER_TAU).
+        extra = (smaj - bmaj) * sigma_t * float(BRICK * SUPER) * voxel
+        use_super = extra <= _SUPER_TAU
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
         cell_lo = jnp.floor(lp / cell_sz[:, None]) * cell_sz[:, None] + O
         cell_hi = cell_lo + cell_sz[:, None]
@@ -284,7 +297,7 @@ def make_traversal(medium: Medium, params: IntegratorParams):
         t_seg_f = jnp.minimum(t_cell, t_exit)
         # Guaranteed forward progress even on degenerate geometry.
         t_seg_f = jnp.maximum(t_seg_f, t_next + 2 * _LOOKAHEAD)
-        sig_seg_f = jnp.where(use_super, 0.0, bmaj) * sigma_t  # sampler.cpp:41
+        sig_seg_f = jnp.where(use_super, smaj, bmaj) * sigma_t  # sampler.cpp:41
         sigma_maj = sig_seg  # world-space majorant of the CURRENT segment
 
         # ---- collision classification ----

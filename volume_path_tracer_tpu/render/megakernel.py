@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grids.majorant import BRICK, SUPER
 from ..models.medium import Medium
-from .integrator import IntegratorParams, _LOOKAHEAD, _TINY
+from .integrator import IntegratorParams, _LOOKAHEAD, _SUPER_TAU, _TINY
 
 LANE = 128  # TPU lane width; all per-lane arrays are [rows, LANE]
 _U32_SCALE = float(np.float32(2.0 ** -32))
@@ -273,8 +273,10 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         real_col = collide & rho_pos
         zero_col = collide & (~rho_pos)
 
-        # segment derivation for fetch lanes (from the lookahead point)
-        use_super = smaj <= 0.0
+        # segment derivation for fetch lanes (from the lookahead point);
+        # opportunistic superbrick segments (integrator._SUPER_TAU policy)
+        extra = (smaj - bmaj) * sigma_t * float(BRICK * SUPER) * voxel
+        use_super = extra <= _SUPER_TAU
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
         inv_cs = 1.0 / cell_sz
         clx = jnp.floor(pipe["lpx"] * inv_cs) * cell_sz + Ox
@@ -286,7 +288,7 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         )
         t_seg_f = jnp.minimum(t_cell, st["t_exit"])
         t_seg_f = jnp.maximum(t_seg_f, pipe["t_next"] + 2 * _LOOKAHEAD)
-        sig_seg_f = jnp.where(use_super, 0.0, bmaj) * sigma_t
+        sig_seg_f = jnp.where(use_super, smaj, bmaj) * sigma_t
 
         # draws of iteration i (same counters as the XLA path), carried in
         # the pipe from the previous kernel's single PCG4D call
