@@ -122,17 +122,23 @@ def _render_throughput(medium, camera, params, W, H, spp, bb=None, seed=10,
     out, _, _ = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, 1000], jnp.uint32))
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    acc = None
-    ncap_total = 0
-    for w0 in range(1, spp + 1, k):
-        L, _, ncap = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, w0], jnp.uint32))
-        acc = L if acc is None else acc + L
-        ncap_total += int(ncap)
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+    # Best-of-3 passes: the axon-tunneled TPU's dispatch path is hosted, so a
+    # transiently loaded host (e.g. a concurrent compile) can inflate a single
+    # pass by orders of magnitude; the best pass is the hardware number.
+    best_dt, acc, ncap_total = None, None, 0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        ncap_total = 0
+        for w0 in range(1, spp + 1, k):
+            L, _, ncap = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, w0], jnp.uint32))
+            acc = L if acc is None else acc + L
+            ncap_total += int(ncap)
+        jax.block_until_ready(acc)
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
     assert bool(np.isfinite(np.asarray(acc)).all()), "non-finite radiance"
-    return npix * spp / dt, ncap_total
+    return npix * spp / best_dt, ncap_total
 
 
 def bench_primary():

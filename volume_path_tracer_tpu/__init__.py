@@ -17,8 +17,9 @@ from .grids.grid import DenseGrid, dense_grid_from_array
 from .grids.majorant import MajorantPyramid, build_majorants
 from .models.camera import Camera
 from .models.medium import Medium
+from . import render  # callable subpackage: vpt.render(scene) forwards to renderer.render
 from .render.integrator import IntegratorParams
-from .render.renderer import Scene, render, render_wave_image
+from .render.renderer import Scene, render_wave_image
 from .utils.config import Configuration, read_configuration
 
 __all__ = [
