@@ -22,6 +22,8 @@ import sys
 
 import numpy as np
 
+from .utils import logging as vlog
+
 
 def _load_medium(cfg, procedural: str | None):
     from .models.medium import Medium
@@ -36,11 +38,13 @@ def _load_medium(cfg, procedural: str | None):
         if procedural == "plume":
             d, t = proc.fire_plume()
             return Medium.from_grids(d, t)
-        raise SystemExit(f"unknown procedural volume {procedural!r}")
+        vlog.fatal(f"unknown procedural volume {procedural!r}")
 
     if not os.path.exists(cfg.volume_path):
-        raise SystemExit(
-            f"FATAL: volume file {cfg.volume_path!r} not found "
+        # The reference fatals on a missing/unreadable volume file
+        # (volume_grids.cpp:52 via vptFATAL).
+        vlog.fatal(
+            f"volume file {cfg.volume_path!r} not found "
             f"(use --procedural for an asset-free volume)"
         )
     from .grids.nvdb import read_nvdb_medium
@@ -89,10 +93,14 @@ def main(argv=None):
         save_checkpoint,
     )
     from .utils.color import film_to_srgb_u8
-    from .utils.config import read_configuration
+    from .utils.config import ConfigError, read_configuration
     from .io.png import write_png
 
-    cfg = read_configuration(args.config)
+    try:
+        cfg = read_configuration(args.config)
+    except ConfigError as e:
+        # vptFATAL on configuration errors (configuration.cpp:18).
+        vlog.fatal(str(e))
     medium = _load_medium(cfg, args.procedural)
     scene = Scene.from_config(cfg, medium, max_iters=args.max_iters)
     num_waves = args.waves if args.waves is not None else cfg.num_waves
@@ -103,7 +111,7 @@ def main(argv=None):
         from .parallel.shard import make_mesh
 
         mesh = make_mesh(args.mesh or n_dev)
-        print(f"[vpt] sharding rays over {dict(mesh.shape)}")
+        vlog.info(f"sharding rays over {dict(mesh.shape)}")
 
     start_wave = 0
     film = jnp.zeros((scene.height, scene.width, 4), jnp.float32)
@@ -113,9 +121,9 @@ def main(argv=None):
             f0, w0, s0 = ck
             if s0 == scene.seed and f0.shape == film.shape:
                 film, start_wave = jnp.asarray(f0), w0
-                print(f"[vpt] resumed from wave {w0}")
+                vlog.info(f"resumed from wave {w0}")
             else:
-                print("[vpt] checkpoint mismatch - starting fresh")
+                vlog.warn("checkpoint mismatch - starting fresh")
 
     tracker = ProgressTracker(num_waves)
     tracker.advance(start_wave)
@@ -123,7 +131,8 @@ def main(argv=None):
     def save_final(film_now):
         img = np.asarray(film_to_srgb_u8(film_now))
         write_png(args.output, img)
-        print(f"\n[vpt] saved {args.output}")
+        print(flush=True)
+        vlog.info(f"saved {args.output}")
 
     import time as _time
 
@@ -150,15 +159,17 @@ def main(argv=None):
                 end="", flush=True,
             )
             if args.preview:
-                write_png(args.preview, np.asarray(film_to_srgb_u8(film)))
+                write_png(args.preview, np.asarray(film_to_srgb_u8(film)), atomic=True)
             if args.checkpoint:
                 save_checkpoint(args.checkpoint, np.asarray(film), w, scene.seed)
             if stop.stop_at_next_wave:
-                print(f"\n[vpt] stopped at wave boundary {w}")
+                print(flush=True)
+                vlog.info(f"stopped at wave boundary {w}")
                 break
     if args.profile:
         jax.profiler.stop_trace()
-        print(f"\n[vpt] profiler trace written to {args.profile}")
+        print(flush=True)
+        vlog.info(f"profiler trace written to {args.profile}")
 
     save_final(film)
     return 0
@@ -184,8 +195,9 @@ def _render_wave_sharded(scene, mesh, wave, film):
     )
     ncap = int(n_capped)
     if ncap:
-        print(
-            f"\n[vpt] WARNING: wave {wave}: {ncap} rays truncated at the "
+        print(flush=True)
+        vlog.warn(
+            f"wave {wave}: {ncap} rays truncated at the "
             f"iteration cap (max_iters={scene.params.max_iters})"
         )
     return film + contrib[:npix].reshape(H, W, 4)

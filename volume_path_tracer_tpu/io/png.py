@@ -8,6 +8,7 @@ rendering. A small decoder is included for golden-image tests.
 """
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -25,8 +26,14 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an RGB image [H, W, 3] of dtype uint8 or uint16 as PNG."""
+def write_png(path: str, image: np.ndarray, atomic: bool = False) -> None:
+    """Write an RGB image [H, W, 3] of dtype uint8 or uint16 as PNG.
+
+    atomic=True stages through a temp file + os.replace so a concurrently
+    refreshing reader (the live preview viewer) never sees a torn file — the
+    TPU-era analogue of the reference's benign-torn-read preview texture
+    (/root/reference/src/main.cpp:106) with the tearing actually removed.
+    """
     image = np.asarray(image)
     if image.ndim != 3 or image.shape[2] != 3:
         raise ValueError(f"expected [H, W, 3] RGB, got {image.shape}")
@@ -47,8 +54,11 @@ def write_png(path: str, image: np.ndarray) -> None:
         b"\x00" + rows[y * stride : (y + 1) * stride] for y in range(h)
     )
     data = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(body, 6)) + _chunk(b"IEND", b"")
-    with open(path, "wb") as f:
+    out = path + ".tmp" if atomic else path
+    with open(out, "wb") as f:
         f.write(data)
+    if atomic:
+        os.replace(out, path)
 
 
 def read_png(path: str) -> np.ndarray:

@@ -18,5 +18,14 @@ class _CallableRenderModule(types.ModuleType):
 
         return render(*args, **kwargs)
 
+    @property
+    def __signature__(self):
+        # Keep inspect.signature(vpt.render) meaningful for tooling.
+        import inspect
+
+        from .renderer import render
+
+        return inspect.signature(render)
+
 
 sys.modules[__name__].__class__ = _CallableRenderModule

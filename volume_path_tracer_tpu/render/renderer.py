@@ -152,8 +152,10 @@ def render_wave_image(
         out = out.at[start:end].add(contrib)
         ncap = int(n_capped)
         if ncap:
-            print(
-                f"[vpt] WARNING: wave {wave}: {ncap} rays truncated at the "
+            from ..utils import logging as vlog
+
+            vlog.warn(
+                f"wave {wave}: {ncap} rays truncated at the "
                 f"iteration cap (max_iters={scene.params.max_iters}) - "
                 f"raise --max-iters to eliminate the bias"
             )

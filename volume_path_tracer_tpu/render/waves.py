@@ -70,10 +70,12 @@ class StopController:
                 self.force_stop = True
             else:
                 self.stop_at_next_wave = True
-                print(
-                    "\n[vpt] stop requested - finishing current wave "
-                    "(press ^C again to abort without saving)",
-                    flush=True,
+                print(flush=True)
+                from ..utils import logging as vlog
+
+                vlog.info(
+                    "stop requested - finishing current wave "
+                    "(press ^C again to abort without saving)"
                 )
 
         self._prev = signal.signal(signal.SIGINT, handler)
