@@ -7,20 +7,36 @@ at 256x256 @ 16 spp — "rays" counts camera rays (pixel samples); each ray's
 full transport (multiple scattering, NEE shadow rays) is included in the cost.
 The reference publishes no numbers and its C++ build/assets are unavailable
 (BASELINE.md), so vs_baseline is the ratio against the first recorded run of
-this benchmark on this hardware (BENCH_BASELINE.json, written on first run):
-1.0 on the first round, >1.0 when later rounds get faster.
+this benchmark on this hardware (BENCH_BASELINE.json, written on first run).
 
-Primary scene: the reference's wdas_cloud.json parameters (sigma_s=0.15,
-g=0.4, distant+infinite lights, max_depth=100) on a procedural 77^3 fog
-sphere standing in for the absent wdas_cloud.nvdb asset.
+Scene (pinned since round 1): the reference's wdas_cloud.json transport
+parameters (sigma_s=0.15, g=0.4, distant+infinite lights, max_depth=100) on a
+procedural 77^3 fog sphere (fog_sphere(radius=30, falloff=6)) standing in for
+the absent wdas_cloud.nvdb asset. (Round-1's docstring said "96^3"; the
+generator was always 77^3 — the scene has never changed.)
+
+Timing methodology (recorded in the JSON): one 65,536-lane wave per jitted
+call; 1 warmup pass (compile + first-execution effects), then `reps` timed
+passes of all 16 waves; every timed region ends in a forced device->host
+transfer of a checksum. On this host `jax.block_until_ready` via the axon
+tunnel can return before the computation finishes (measured: 16-wave passes
+"completing" in 3 ms, a physical impossibility at ~300 sequential loop
+iterations per wave), so only transfer-forced timings are trusted. Best pass
+is reported as the hardware number; all passes are recorded.
 
 `python bench.py --full` additionally measures (results -> BENCH_EXTRA.json):
   - big_cloud: a 512^3, ~12%-occupancy procedural cumulus (production-scale
     HBM-resident grid), packed-rows vs raw-gather paths;
   - fire: the reference fire.json transport (sigma_t=2.9, g=0.7, emissive
-    blackbody, deep paths) on the procedural plume;
+    blackbody, deep paths) on the procedural plume, with a max_iters sweep
+    quantifying truncation (capped lanes);
   - train: forward+backward (replay-VJP) throughput of an inverse-rendering
     step on the flagship scene.
+
+`python bench.py --verify` renders the flagship wave with BOTH the XLA
+wavefront loop (render/integrator.trace_rays) and the Pallas megakernel
+(render/megakernel.trace_rays_fused) on the real chip, asserts mean
+agreement, records both timings -> BENCH_VERIFY.json.
 """
 from __future__ import annotations
 
@@ -37,10 +53,8 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 def _common_setup():
     import jax
 
-    # Persistent compilation cache: the staged-compaction render program is
-    # large (one while_loop per compaction stage); caching keeps repeat runs
-    # of this benchmark from paying the multi-minute cold compile when the
-    # host is under load.
+    # Persistent compilation cache: keeps repeat runs of this benchmark from
+    # paying the multi-minute cold compile when the host is under load.
     jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -82,63 +96,69 @@ def _camera(W, H, pos, look=(0.0, 0.0, 0.0), vfov=35.0, ratio=0.1):
     )
 
 
-def _render_throughput(medium, camera, params, W, H, spp, bb=None, seed=10,
-                       waves_per_batch=None):
-    """Returns rays/s over `spp` samples/pixel (compile excluded).
-
-    Waves are batched into one flat ray batch of waves_per_batch * W * H
-    lanes per jitted call (per-lane RNG streams keep every wave's draws
-    identical to the one-wave-at-a-time path): larger wavefronts amortize
-    the loop's fixed per-iteration overheads, and the compaction stages pool
-    the alive tails of all batched waves.
-    """
+def _make_wave_fn(tracer, params, bb=None):
     import jax
     import jax.numpy as jnp
 
-    from volume_path_tracer_tpu.render.integrator import trace_rays
     from volume_path_tracer_tpu.utils import rng as vrng
 
-    npix = W * H
-    if waves_per_batch is None:
-        # Cap the batch near 1M lanes (state ~100 MB at 1M).
-        waves_per_batch = max(1, min(spp, (1 << 20) // npix))
-        while spp % waves_per_batch:
-            waves_per_batch -= 1
-    k = waves_per_batch
-    ys, xs = np.mgrid[0:H, 0:W]
-    raster1 = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
-    raster = jnp.asarray(np.tile(raster1, (k, 1)))
-    pids = jnp.asarray(np.tile(np.arange(npix, dtype=np.int32), k))
-
-    def batch_fn(medium_, camera_, raster_, pids_, seed_wave0):
-        waves = seed_wave0[1] + jnp.arange(k, dtype=jnp.uint32)
-        stream = jnp.repeat(vrng.mix_stream(seed_wave0[0], waves), npix)
+    def wave_fn(medium_, camera_, raster_, pids_, seed_wave):
+        stream = vrng.mix_stream(seed_wave[0], seed_wave[1])
+        stream = jnp.broadcast_to(stream, pids_.shape)
         u_jit = vrng.counter_uniforms(pids_, stream, jnp.int32(2**31 - 1), 2)
         o_w, d_w = camera_.generate_rays(raster_, u_jit * 0.5)
-        L, iters, n_capped = trace_rays(medium_, params, bb, o_w, d_w, pids_, stream)
-        return camera_.imaging_ratio * jnp.sum(L.reshape(k, npix, 3), 0), iters, n_capped
+        L, iters, n_capped = tracer(medium_, params, bb, o_w, d_w, pids_, stream)
+        return camera_.imaging_ratio * L, iters, n_capped
 
-    batch_jit = jax.jit(batch_fn)
-    out, _, _ = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, 1000], jnp.uint32))
-    jax.block_until_ready(out)
+    return jax.jit(wave_fn)
 
-    # Best-of-3 passes: the axon-tunneled TPU's dispatch path is hosted, so a
-    # transiently loaded host (e.g. a concurrent compile) can inflate a single
-    # pass by orders of magnitude; the best pass is the hardware number.
-    best_dt, acc, ncap_total = None, None, 0
-    for rep in range(3):
+
+def _render_throughput(medium, camera, params, W, H, spp, bb=None, seed=10,
+                       tracer=None, reps=3):
+    """Returns (rays/s best-pass, n_capped, all pass times).
+
+    One W*H-lane wave per jitted call (the round-1 shape: measured fastest on
+    this hardware; the round-2 16-wave/1M-lane batching was 2x slower). Every
+    timed pass ends in a forced host transfer (see module docstring).
+    """
+    import jax.numpy as jnp
+
+    if tracer is None:
+        from volume_path_tracer_tpu.render.integrator import trace_rays as tracer
+
+    npix = W * H
+    ys, xs = np.mgrid[0:H, 0:W]
+    raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
+    pids = jnp.arange(npix, dtype=jnp.int32)
+    wave_jit = _make_wave_fn(tracer, params, bb)
+
+    # Warmup: compile + one full unmeasured pass (the first post-compile pass
+    # consistently runs ~2x slower than steady state on this host).
+    acc = None
+    for w in range(1, spp + 1):
+        L, _, ncap = wave_jit(medium, camera, raster, pids, jnp.asarray([seed, w], jnp.uint32))
+        acc = L if acc is None else acc + L
+    _ = float(acc.sum())
+
+    times = []
+    ncap_dev = None
+    for rep in range(reps):
         t0 = time.perf_counter()
         acc = None
-        ncap_total = 0
-        for w0 in range(1, spp + 1, k):
-            L, _, ncap = batch_jit(medium, camera, raster, pids, jnp.asarray([seed, w0], jnp.uint32))
+        ncap_dev = None
+        for w in range(1, spp + 1):
+            L, _, ncap = wave_jit(
+                medium, camera, raster, pids, jnp.asarray([seed, w], jnp.uint32)
+            )
             acc = L if acc is None else acc + L
-            ncap_total += int(ncap)
-        jax.block_until_ready(acc)
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    assert bool(np.isfinite(np.asarray(acc)).all()), "non-finite radiance"
-    return npix * spp / best_dt, ncap_total
+            # Accumulate ON DEVICE: a host int() here would block per wave and
+            # serialize dispatch (adds one tunnel RTT per wave to the timing).
+            ncap_dev = ncap if ncap_dev is None else ncap_dev + ncap
+        chk = float(acc.sum())  # force completion inside the timed region
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(chk), "non-finite radiance"
+    best = min(times)
+    return npix * spp / best, int(ncap_dev), [round(t, 4) for t in times]
 
 
 def bench_primary():
@@ -147,8 +167,8 @@ def bench_primary():
 
     medium = Medium.from_grids(fog_sphere(radius=30.0, falloff=6.0))
     camera = _camera(256, 256, (110.0, 0.0, 0.0))
-    rays_per_s, _ = _render_throughput(medium, camera, _wdas_params(), 256, 256, 16)
-    return rays_per_s
+    rays_per_s, _, times = _render_throughput(medium, camera, _wdas_params(), 256, 256, 16)
+    return rays_per_s, times
 
 
 def _big_cloud_cached(n=512):
@@ -181,18 +201,24 @@ def bench_full():
     cam = _camera(256, 256, (900.0, 0.0, 0.0), vfov=40.0)
     for packed in (True, False):
         med = Medium.from_grids(grid, pack=packed)
-        rays, _ = _render_throughput(med, cam, _wdas_params(), 256, 256, 8)
+        rays, _, _ = _render_throughput(med, cam, _wdas_params(), 256, 256, 8, reps=2)
         out[f"big_cloud_512_{'packed' if packed else 'raw'}_rays_per_s"] = round(rays, 1)
         del med
 
-    # --- fire config (emissive, deep paths) ---
+    # --- fire config (emissive, deep paths): max_iters truncation sweep ---
     dens, temp = fire_plume(height=96, radius=28.0)
     med = Medium.from_grids(dens, temp)
     bb = jnp.asarray(blackbody_xyz_table())
     cam = _camera(256, 256, (170.0, 48.0, 0.0), look=(0.0, 48.0, 0.0), vfov=37.0)
-    rays, ncap = _render_throughput(med, cam, _fire_params(), 256, 256, 8, bb=bb)
-    out["fire_rays_per_s"] = round(rays, 1)
-    out["fire_capped_lanes"] = ncap
+    sweep = {}
+    for mi in (2048, 4096, 8192):
+        rays, ncap, _ = _render_throughput(
+            med, cam, _fire_params(max_iters=mi), 256, 256, 8, bb=bb, reps=2
+        )
+        sweep[str(mi)] = {"rays_per_s": round(rays, 1), "capped_lanes": ncap}
+    out["fire_max_iters_sweep"] = sweep
+    out["fire_rays_per_s"] = sweep["8192"]["rays_per_s"]
+    out["fire_capped_lanes"] = sweep["8192"]["capped_lanes"]
 
     # --- forward+backward (replay VJP) train-step throughput ---
     import optax
@@ -205,13 +231,12 @@ def bench_full():
 
     base = _M.from_grids(fog_sphere(radius=30.0, falloff=6.0), pack=False)
     camera = _camera(128, 128, (110.0, 0.0, 0.0))
-    params = _wdas_params(max_iters=1024)
     k = 2
     optimizer = optax.adam(1e-2)
     grids = OptimizableGrids(log_density=param_from_density(base.density.data))
     opt_state = optimizer.init(grids)
     step = make_train_step(
-        base, params, camera, None, optimizer, n_iters=1024,
+        base, _wdas_params(max_iters=1024), camera, None, optimizer, n_iters=1024,
         samples_per_step=k, use_prb=True, pack=True,
     )
     ys, xs = np.mgrid[0:128, 0:128]
@@ -219,14 +244,50 @@ def bench_full():
     pids = jnp.arange(128 * 128, dtype=jnp.int32)
     target = jnp.zeros((128 * 128, 3), jnp.float32)
     g2, s2, loss = step(grids, opt_state, raster, pids, target, jnp.asarray([3, 1], jnp.uint32))
-    jax.block_until_ready(loss)
+    _ = float(loss)
     t0 = time.perf_counter()
     reps = 3
     for it in range(reps):
         g2, s2, loss = step(g2, s2, raster, pids, target, jnp.asarray([3, it + 2], jnp.uint32))
-    jax.block_until_ready(loss)
+    _ = float(loss)  # loss of step N depends on all prior steps: forces the chain
     dt = (time.perf_counter() - t0) / reps
     out["train_fwd_bwd_rays_per_s"] = round(128 * 128 * k / dt, 1)
+    return out
+
+
+def bench_verify():
+    """XLA loop vs Pallas megakernel on the real chip: agreement + timings."""
+    import jax.numpy as jnp
+
+    from volume_path_tracer_tpu.grids.procedural import fog_sphere
+    from volume_path_tracer_tpu.models.medium import Medium
+    from volume_path_tracer_tpu.render.integrator import trace_rays
+    from volume_path_tracer_tpu.render.megakernel import trace_rays_fused
+
+    medium = Medium.from_grids(fog_sphere(radius=30.0, falloff=6.0))
+    camera = _camera(256, 256, (110.0, 0.0, 0.0))
+    params = _wdas_params()
+    out = {}
+    images = {}
+    for name, tracer in (("xla", trace_rays), ("fused", trace_rays_fused)):
+        rays, _, times = _render_throughput(
+            medium, camera, params, 256, 256, 4, tracer=tracer, reps=2
+        )
+        wave_jit = _make_wave_fn(tracer, params)
+        ys, xs = np.mgrid[0:256, 0:256]
+        raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
+        pids = jnp.arange(256 * 256, dtype=jnp.int32)
+        L, _, _ = wave_jit(medium, camera, raster, pids, jnp.asarray([10, 1], jnp.uint32))
+        images[name] = np.asarray(L)
+        out[f"{name}_rays_per_s"] = round(rays, 1)
+        out[f"{name}_pass_times_s"] = times
+    a, b = images["xla"], images["fused"]
+    lane_exact = float(np.mean(np.all(a == b, axis=-1)))
+    rel_mean = abs(a.mean() - b.mean()) / max(abs(a.mean()), 1e-9)
+    out["lane_exact_fraction"] = round(lane_exact, 4)
+    out["mean_rel_diff"] = round(float(rel_mean), 6)
+    assert rel_mean < 0.01, f"mean mismatch: {rel_mean}"
+    assert lane_exact > 0.9, f"lane-exact fraction too low: {lane_exact}"
     return out
 
 
@@ -234,10 +295,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="also run big-grid/fire/backward benches -> BENCH_EXTRA.json")
+    ap.add_argument("--verify", action="store_true",
+                    help="XLA vs Pallas megakernel agreement+timing -> BENCH_VERIFY.json")
     args = ap.parse_args()
 
     _common_setup()
-    rays_per_s = bench_primary()
+
+    if args.verify:
+        v = bench_verify()
+        import jax
+
+        v["device"] = str(jax.devices()[0])
+        with open(os.path.join(_REPO, "BENCH_VERIFY.json"), "w") as f:
+            json.dump(v, f, indent=1)
+        print(json.dumps(v), flush=True)
+        return
+
+    rays_per_s, times = bench_primary()
 
     base_path = os.path.join(_REPO, "BENCH_BASELINE.json")
     if os.path.exists(base_path):
@@ -266,6 +340,8 @@ def main():
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_per_s / base, 4),
+                "method": "best of 3 transfer-forced passes, 65536-lane waves",
+                "pass_times_s": times,
             }
         )
     )
