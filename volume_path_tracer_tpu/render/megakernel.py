@@ -4,44 +4,55 @@ Why this exists (measured on TPU v5e, see PERF.md): XLA compiles the
 wavefront step (render/integrator.py make_step) into 13 fusions + 17 copies
 + 8 custom-calls per iteration — the ~100 B/lane state round-trips HBM at
 every fusion boundary, ~1,075 bytes/lane/iteration against an algorithmic
-floor of ~250, leaving the loop ~10x off speed-of-light. This module fuses
-the ENTIRE transport step — free-flight sampling, segment derivation,
-delta-tracking events, blackbody emission, NEE ratio tracking, HG redirect,
-retire/resume logic, and the PCG4D counter RNG — into ONE Pallas program per
-iteration, so per-lane state crosses HBM exactly once per iteration.
+floor of ~250, leaving the loop well off speed-of-light. This module fuses
+the transport-event step — segment derivation, delta-tracking events,
+blackbody emission, NEE ratio tracking, HG redirect, retire/resume logic —
+into ONE Pallas program per iteration, so per-lane state crosses HBM exactly
+once per iteration.
 
-The single piece that stays in XLA is the per-lane random row fetch from the
-fused corner/majorant table: Mosaic's only dynamic gather
-(tpu.dynamic_gather) requires index arrays shaped like the table, which only
-fits tiny shuffle LUTs — the XLA gather engine is the hardware path for
-random row fetches (measured ~150 GB/s on 32 B rows). The loop is therefore
-*software-pipelined around the gather*:
+Division of labor per iteration (round 3 restructure):
 
-    kernel_i:  finish iteration i   (events, using rho/majorants fetched
-                                     at the point kernel_{i-1} requested)
-               start iteration i+1  (free flight, emit the next gather
-                                     point lp' and collide' flag)
-    fetch_i+1: rho/bmaj/smaj = one row gather + trilinear dot  (XLA fusion)
+    prestep (XLA fusion):  counter RNG (PCG4D, bitwise = utils/rng), free
+                           flight within the carried segment, gather-point
+                           selection, THE row gather + trilinear/majorant
+                           dots [+ blackbody LUT lerp]
+    kernel  (Pallas):      everything that updates state — events, NEE,
+                           HG redirect, segment install, retire/resume
 
-which is an exact rotation of the reference's sampling loop
+Two reasons for this split. First, Mosaic has no large-table dynamic gather
+(tpu.dynamic_gather requires table-shaped index arrays, i.e. small shuffle
+LUTs only) — the XLA gather engine is the hardware path for random row
+fetches, so the gather must sit in an XLA fusion either way. Second, the
+VPU-heaviest scalar work (emulated uint32 multiplies for PCG4D, the
+free-flight log1p) overlaps with the gather's memory latency when it lives
+in the same XLA fusion, but would serialize with it if it lived in the
+kernel (measured: moving RNG+free-flight out of the kernel cut the fused
+step's cost; see PERF.md section 4). The split also deletes the round-2
+software-pipeline registers — nine fewer [N] arrays written per iteration
+and carried across compaction stages.
+
+Draw parity with the XLA path is now *by construction*: prestep calls the
+same utils/rng.pcg4d + uniform conversion on the same (pixel id, stream,
+counter) keys that integrator.trace_rays uses, so event decisions match the
+XLA integrator except where f32 transcendental rounding (log1p/sin/cos
+differ by ulps between XLA and Mosaic lowerings) flips a knife-edge branch;
+renders are statistically identical and that equivalence is tested
+(tests/test_megakernel.py) and re-checked on real hardware by
+`bench.py --verify`.
+
+This is an exact batched rotation of the reference's per-ray sampling loop
 (/root/reference/src/majorant_transmittance_sampler.cpp:21-81 fused with
-/root/reference/src/worker.cpp:92-208) — every lane consumes the identical
-PCG4D draw sequence as the XLA path (integer hashing is exact), so event
-decisions match the XLA integrator except where f32 transcendental rounding
-(log1p/sin/cos differ by ulps between XLA and Mosaic lowerings) flips a
-knife-edge branch; renders are statistically identical and that equivalence
-is tested (tests/test_megakernel.py).
+/root/reference/src/worker.cpp:92-208).
 
 State is stored SoA — one [N/128, 128] f32/i32 array per field — which also
 removes the 4/3 padding XLA's [N,3] T(4,128) layouts pay.
 
 Scope: the forward render path (trace_rays_fused). Gradients use diff/prb.py
-whose forward is interchangeable. Falls back to the XLA loop automatically
-off-TPU (interpret=True runs the same kernel for tests on CPU).
+whose forward is interchangeable. interpret=True runs the same kernel for
+tests on CPU.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -52,11 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grids.majorant import BRICK, SUPER
 from ..models.medium import Medium
+from ..utils import rng as vrng
 from .integrator import IntegratorParams, _LOOKAHEAD, _SUPER_TAU, _TINY
 
 LANE = 128  # TPU lane width; all per-lane arrays are [rows, LANE]
-_U32_SCALE = float(np.float32(2.0 ** -32))
-_ONE_MINUS_EPS = float(np.float32(1.0 - 2.0 ** -24))
 
 CAM = 0
 SHADOW = 1
@@ -69,76 +79,19 @@ STATE_F32 = (
     "T_ray", "phase_val",
 )
 STATE_I32 = ("depth", "mode", "ctr")
-# Pipeline registers: iteration i's gather request + free-flight results,
-# produced by kernel_{i-1}, consumed (with the fetched rho) by kernel_i.
-# u1..u3 are iteration i's event/HG/RR draws: kernel_{i-1}'s single PCG4D
-# call produces all four outputs for counter i — u0 drives its own free
-# flight, the rest ride the pipe (halves the emulated-u32-multiply cost,
-# the kernel's hottest op class on the VPU).
-PIPE_F32 = ("lpx", "lpy", "lpz", "t_cand", "t_next", "u1", "u2", "u3")
-PIPE_I32 = ("collide",)  # 0/1
-
-
-def _pcg4d(a, b, c, d):
-    """PCG4D on uint32 arrays — bitwise identical to utils/rng.pcg4d."""
-    v0 = a * jnp.uint32(1664525) + jnp.uint32(1013904223)
-    v1 = b * jnp.uint32(1664525) + jnp.uint32(1013904223)
-    v2 = c * jnp.uint32(1664525) + jnp.uint32(1013904223)
-    v3 = d * jnp.uint32(1664525) + jnp.uint32(1013904223)
-    v0 = v0 + v1 * v3
-    v1 = v1 + v2 * v0
-    v2 = v2 + v0 * v1
-    v3 = v3 + v1 * v2
-    v0 = v0 ^ (v0 >> 16)
-    v1 = v1 ^ (v1 >> 16)
-    v2 = v2 ^ (v2 >> 16)
-    v3 = v3 ^ (v3 >> 16)
-    v0 = v0 + v1 * v3
-    v1 = v1 + v2 * v0
-    v2 = v2 + v0 * v1
-    v3 = v3 + v1 * v2
-    return v0, v1, v2, v3
-
-
-def _u32_to_f32(v):
-    """uint32 -> float32 value conversion, bitwise equal to v.astype(f32).
-
-    Mosaic has no uint32->f32 cast; decompose into two 16-bit halves (each
-    exactly representable) — hi*65536 is exact, so the final add performs the
-    single round-to-nearest that a direct conversion would.
-    """
-    hi = pltpu.bitcast(v >> 16, jnp.int32).astype(jnp.float32)
-    lo = pltpu.bitcast(v & jnp.uint32(0xFFFF), jnp.int32).astype(jnp.float32)
-    return hi * 65536.0 + lo
-
-
-def _uniform(v):
-    return jnp.minimum(_u32_to_f32(v) * _U32_SCALE, _ONE_MINUS_EPS)
-
-
-def _to_u32(v_i32):
-    return pltpu.bitcast(v_i32, jnp.uint32)
+# Prestep results, computed in the XLA gather fusion and consumed by the
+# kernel in the same iteration. bb* channels only exist when emission is on.
+FETCH_F32 = (
+    "rho", "bmaj", "smaj", "lpx", "lpy", "lpz", "t_cand", "t_next",
+    "u1", "u2", "u3",
+)
+FETCH_F32_EMIT = FETCH_F32 + ("bbx", "bby", "bbz")
+FETCH_I32 = ("collide",)  # 0/1
 
 
 def _safe_inv1(d):
     mag = jnp.maximum(jnp.abs(d), 1e-12)
     return jnp.sign(d) * (1.0 / mag) + jnp.where(d == 0.0, 1e12, 0.0)
-
-
-def _clip3(ox, oy, oz, dx, dy, dz, lo, hi, t_min=1e-4):
-    """SoA slab clip against the cube [lo, hi]^3 (integrator.clip_ray)."""
-    t_lo = None
-    t_hi = None
-    for o_, d_ in ((ox, dx), (oy, dy), (oz, dz)):
-        inv = _safe_inv1(d_)
-        ta = (lo - o_) * inv
-        tb = (hi - o_) * inv
-        lo_ax = jnp.minimum(ta, tb)
-        hi_ax = jnp.maximum(ta, tb)
-        t_lo = lo_ax if t_lo is None else jnp.maximum(t_lo, lo_ax)
-        t_hi = hi_ax if t_hi is None else jnp.minimum(t_hi, hi_ax)
-    t0 = jnp.maximum(t_lo, t_min)
-    return t0, t_hi, t0 < t_hi
 
 
 def _clip3_box(ox, oy, oz, dx, dy, dz, los, his, t_min=1e-4):
@@ -206,17 +159,15 @@ def _sample_hg3(wx, wy, wz, u1, u2, g):
 
 
 def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
-    """The fused step kernel body.
+    """The fused event-step kernel body.
 
-    State/pipe/fetch fields travel PACKED — one [n_fields, rows, 128] array
-    per dtype — so each grid program issues a handful of large DMAs instead
-    of ~56 small ones (DMA issue overhead dominated the first cut).
+    State/fetch fields travel PACKED — one [n_fields, rows, 128] array per
+    dtype — so each grid program issues a handful of large DMAs instead of
+    ~50 small ones (DMA issue overhead dominated the first cut).
 
-    inputs:  pids [r,128], stream (SMEM [1,1]),
-             state_f32 [21,r,128], state_i32 [3,r,128],
-             pipe_f32 [5,r,128], pipe_i32 [1,r,128],
-             fetch_f32 [3 or 6, r, 128]  (rho, bmaj, smaj[, bb_xyz])
-    outputs: state_f32', state_i32', pipe_f32', pipe_i32'
+    inputs:  state_f32 [21,r,128], state_i32 [3,r,128],
+             fetch_f32 [11 or 14, r, 128], fetch_i32 [1,r,128]
+    outputs: state_f32', state_i32'
     """
     dgrid = medium.density
     Ox, Oy, Oz = (float(v) for v in dgrid.origin_ijk)
@@ -238,33 +189,21 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
     )
     le_scale = params.le_scale
     max_depth = params.max_depth
+    fetch_f32 = FETCH_F32_EMIT if emission_on else FETCH_F32
 
-    n_state = len(STATE_F32) + len(STATE_I32)
-    n_pipe = len(PIPE_F32) + len(PIPE_I32)
-
-    def kernel(
-        pids_ref, stream_ref, sf_in, si_in, pf_in, pi_in, fetch_in,
-        sf_out, si_out, pf_out, pi_out,
-    ):
+    def kernel(sf_in, si_in, ff_in, fi_in, sf_out, si_out):
         st = {name: sf_in[i] for i, name in enumerate(STATE_F32)}
         st.update({name: si_in[i] for i, name in enumerate(STATE_I32)})
-        pipe = {name: pf_in[i] for i, name in enumerate(PIPE_F32)}
-        pipe.update({name: pi_in[i] for i, name in enumerate(PIPE_I32)})
-        rho = fetch_in[0]
-        bmaj = fetch_in[1]
-        smaj = fetch_in[2]
-        if emission_on:
-            bb_xyz = (fetch_in[3], fetch_in[4], fetch_in[5])
-        pids = pids_ref[:]
-        stream = stream_ref[0, 0]
+        fe = {name: ff_in[i] for i, name in enumerate(fetch_f32)}
+        fe.update({name: fi_in[i] for i, name in enumerate(FETCH_I32)})
+        rho, bmaj, smaj = fe["rho"], fe["bmaj"], fe["smaj"]
 
-        # ================= finish iteration i =================
         active = st["mode"] != DONE
         in_cam = st["mode"] == CAM
         in_shw = st["mode"] == SHADOW
-        collide = (pipe["collide"] != 0) & active
+        collide = (fe["collide"] != 0) & active
         cross = active & (~collide)
-        exited = cross & (pipe["t_next"] >= st["t_exit"] - 1e-6)
+        exited = cross & (fe["t_next"] >= st["t_exit"] - 1e-6)
         fetchm = cross & (~exited)
         sig = jnp.maximum(st["sig_seg"], _TINY)
         sigma_maj = st["sig_seg"]
@@ -279,20 +218,19 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         use_super = extra <= _SUPER_TAU
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
         inv_cs = 1.0 / cell_sz
-        clx = jnp.floor(pipe["lpx"] * inv_cs) * cell_sz + Ox
-        cly = jnp.floor(pipe["lpy"] * inv_cs) * cell_sz + Oy
-        clz = jnp.floor(pipe["lpz"] * inv_cs) * cell_sz + Oz
+        clx = jnp.floor(fe["lpx"] * inv_cs) * cell_sz + Ox
+        cly = jnp.floor(fe["lpy"] * inv_cs) * cell_sz + Oy
+        clz = jnp.floor(fe["lpz"] * inv_cs) * cell_sz + Oz
         t_cell = _cell_exit3(
             st["ox"], st["oy"], st["oz"], st["dx"], st["dy"], st["dz"],
             clx, cly, clz, clx + cell_sz, cly + cell_sz, clz + cell_sz,
         )
         t_seg_f = jnp.minimum(t_cell, st["t_exit"])
-        t_seg_f = jnp.maximum(t_seg_f, pipe["t_next"] + 2 * _LOOKAHEAD)
+        t_seg_f = jnp.maximum(t_seg_f, fe["t_next"] + 2 * _LOOKAHEAD)
         sig_seg_f = jnp.where(use_super, smaj, bmaj) * sigma_t
 
-        # draws of iteration i (same counters as the XLA path), carried in
-        # the pipe from the previous kernel's single PCG4D call
-        u1, u2, u3 = pipe["u1"], pipe["u2"], pipe["u3"]
+        # the iteration's event/HG/RR draws, computed by prestep
+        u1, u2, u3 = fe["u1"], fe["u2"], fe["u3"]
 
         # ---- CAMERA events ----
         cam_col = in_cam & real_col
@@ -303,9 +241,9 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         Lx, Ly, Lz = st["Lx"], st["Ly"], st["Lz"]
         if emission_on:
             emw = jnp.where(cam_col, p_a * le_scale, 0.0)
-            Lx = Lx + emw * bb_xyz[0]
-            Ly = Ly + emw * bb_xyz[1]
-            Lz = Lz + emw * bb_xyz[2]
+            Lx = Lx + emw * fe["bbx"]
+            Ly = Ly + emw * fe["bby"]
+            Lz = Lz + emw * fe["bbz"]
 
         # 3-way discrete event (utils/rng.sample_discrete3)
         total = p_n + p_a + p_s
@@ -323,9 +261,9 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         phase_new = _hg_phase(cos_wi, g_hg)
 
         depth_new = jnp.where(cam_scat, st["depth"] + 2, st["depth"])
-        pcol_x = pipe["lpx"] + Ox
-        pcol_y = pipe["lpy"] + Oy
-        pcol_z = pipe["lpz"] + Oz
+        pcol_x = fe["lpx"] + Ox
+        pcol_y = fe["lpy"] + Oy
+        pcol_z = fe["lpz"] + Oz
         pox = jnp.where(cam_scat, pcol_x, st["pox"])
         poy = jnp.where(cam_scat, pcol_y, st["poy"])
         poz = jnp.where(cam_scat, pcol_z, st["poz"])
@@ -426,8 +364,8 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         t_exit = jnp.where(miss_resume_ok, t1p, t_exit)
 
         plain_adv = cam_null | zero_col | (in_shw & real_col & ~shadow_finish)
-        t = jnp.where(plain_adv, pipe["t_cand"], t)
-        t = jnp.where(fetchm, pipe["t_next"], t)
+        t = jnp.where(plain_adv, fe["t_cand"], t)
+        t = jnp.where(fetchm, fe["t_next"], t)
 
         new_ray = start_shadow_ok | resume_ok | miss_resume_ok
         sig_seg = jnp.where(fetchm, sig_seg_f, st["sig_seg"])
@@ -437,26 +375,6 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
 
         T_ray = jnp.where(start_shadow_ok, 1.0, T_ray)
         ctr = st["ctr"] + 1
-
-        # ================= start iteration i+1 =================
-        active2 = mode != DONE
-        w0, w1, w2, w3 = _pcg4d(
-            _to_u32(pids),
-            jnp.broadcast_to(stream, pids.shape),
-            _to_u32(ctr),
-            jnp.zeros(pids.shape, jnp.uint32),
-        )
-        u0n = _uniform(w0)
-        has_seg = t_seg > t
-        sig2 = jnp.maximum(sig_seg, _TINY)
-        dt_w = -jnp.log1p(-u0n) / sig2
-        t_cand2 = t + dt_w / voxel
-        collide2 = active2 & has_seg & (sig_seg > 0.0) & (t_cand2 < t_seg)
-        t_next2 = jnp.where(has_seg, t_seg, t)
-        t_gather = jnp.where(collide2, t_cand2, t_next2 + _LOOKAHEAD)
-        lpx2 = ox + dx * t_gather - Ox
-        lpy2 = oy + dy * t_gather - Oy
-        lpz2 = oz + dz * t_gather - Oz
 
         # ---- write state (packed) ----
         outs = dict(
@@ -470,15 +388,6 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
             sf_out[i] = outs[n]
         for i, n in enumerate(STATE_I32):
             si_out[i] = outs[n]
-        pouts = dict(
-            lpx=lpx2, lpy=lpy2, lpz=lpz2, t_cand=t_cand2, t_next=t_next2,
-            u1=_uniform(w1), u2=_uniform(w2), u3=_uniform(w3),
-            collide=collide2.astype(jnp.int32),
-        )
-        for i, n in enumerate(PIPE_F32):
-            pf_out[i] = pouts[n]
-        for i, n in enumerate(PIPE_I32):
-            pi_out[i] = pouts[n]
 
     return kernel
 
@@ -489,11 +398,11 @@ def _as2d(x):
 
 def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
                lpx, lpy, lpz, collide):
-    """The XLA half of the pipelined iteration: one fused-row gather + dots.
+    """The gather core of prestep: one fused-row gather + trilinear dots.
 
-    Computes (rho, bmaj, smaj[, bb_xyz]) at the kernel-requested point. All
-    math here fuses into the gather's consumer fusion. Mirrors the packed-path
-    of integrator.make_traversal exactly.
+    Computes (rho, bmaj, smaj[, bb_xyz]) at the requested point. All math
+    here fuses into the gather's consumer fusion. Mirrors the packed path of
+    integrator.make_traversal exactly.
     """
     dgrid = medium.density
     X, Y, Z = dgrid.shape
@@ -576,34 +485,81 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
     return tuple(out)
 
 
+def make_prestep(medium: Medium, params: IntegratorParams, bb_table,
+                 emission_on: bool):
+    """Build the XLA half of the iteration: RNG + free flight + gather.
+
+    Returns prestep(pids2d, stream2d, sf, si) -> (ff [nfe, rows, 128],
+    fi [1, rows, 128]). Consumes the same counter draws as
+    integrator.trace_rays: u = pcg4d(pixel, stream, ctr, 0) — u0 drives the
+    free flight here; u1..u3 ride the fetch array to the kernel (event draw,
+    HG phi/cos). All of this fuses with the row gather, whose memory latency
+    hides the emulated-u32-multiply VPU cost of PCG4D.
+    """
+    dgrid = medium.density
+    O = jnp.asarray(dgrid.origin_ijk, jnp.float32)
+    voxel = float(dgrid.voxel_size)
+    i_mode = STATE_I32.index("mode")
+    i_ctr = STATE_I32.index("ctr")
+    idx = {n: i for i, n in enumerate(STATE_F32)}
+    i_t, i_tseg, i_sig = idx["t"], idx["t_seg"], idx["sig_seg"]
+    i_ox, i_oy, i_oz = idx["ox"], idx["oy"], idx["oz"]
+    i_dx, i_dy, i_dz = idx["dx"], idx["dy"], idx["dz"]
+
+    def prestep(pids2d, stream2d, sf, si):
+        mode, ctr = si[i_mode], si[i_ctr]
+        t, t_seg, sig_seg = sf[i_t], sf[i_tseg], sf[i_sig]
+        w0, w1, w2, w3 = vrng.pcg4d(
+            pids2d, stream2d, ctr, jnp.zeros_like(ctr)
+        )
+        u0 = vrng._u32_to_uniform(w0)
+        u1 = vrng._u32_to_uniform(w1)
+        u2 = vrng._u32_to_uniform(w2)
+        u3 = vrng._u32_to_uniform(w3)
+
+        active = mode != DONE
+        has_seg = t_seg > t
+        sig = jnp.maximum(sig_seg, _TINY)
+        dt_w = vrng.sample_exponential(u0, sig)
+        t_cand = t + dt_w / voxel
+        collide = active & has_seg & (sig_seg > 0.0) & (t_cand < t_seg)
+        t_next = jnp.where(has_seg, t_seg, t)
+        t_gather = jnp.where(collide, t_cand, t_next + _LOOKAHEAD)
+        lpx = sf[i_ox] + sf[i_dx] * t_gather - O[0]
+        lpy = sf[i_oy] + sf[i_dy] * t_gather - O[1]
+        lpz = sf[i_oz] + sf[i_dz] * t_gather - O[2]
+        collide_i = collide.astype(jnp.int32)
+
+        fetched = fetch_rows(medium, params, bb_table, lpx, lpy, lpz, collide_i)
+        ff = jnp.stack(
+            list(fetched[:3]) + [lpx, lpy, lpz, t_cand, t_next, u1, u2, u3]
+            + list(fetched[3:])
+        )
+        fi = collide_i[None]
+        return ff, fi
+
+    return prestep
+
+
 def _pallas_step_call(medium, params, emission_on, n_lanes, block_lanes,
                       interpret):
     kernel = make_kernel(medium, params, emission_on)
     rows = n_lanes // LANE
     brows = block_lanes // LANE
     grid = (rows // brows,)
-    n_fetch = 6 if emission_on else 3
+    n_fetch = len(FETCH_F32_EMIT) if emission_on else len(FETCH_F32)
     nf, ni = len(STATE_F32), len(STATE_I32)
-    npf, npi = len(PIPE_F32), len(PIPE_I32)
 
     def packed(n_fields):
         return pl.BlockSpec(
             (n_fields, brows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
-    blk2d = pl.BlockSpec((brows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    in_specs = [
-        blk2d, smem_scalar, packed(nf), packed(ni), packed(npf), packed(npi),
-        packed(n_fetch),
-    ]
-    out_specs = (packed(nf), packed(ni), packed(npf), packed(npi))
+    in_specs = [packed(nf), packed(ni), packed(n_fetch), packed(len(FETCH_I32))]
+    out_specs = (packed(nf), packed(ni))
     out_shape = (
         jax.ShapeDtypeStruct((nf, rows, LANE), jnp.float32),
         jax.ShapeDtypeStruct((ni, rows, LANE), jnp.int32),
-        jax.ShapeDtypeStruct((npf, rows, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((npi, rows, LANE), jnp.int32),
     )
     return pl.pallas_call(
         kernel,
@@ -656,36 +612,14 @@ def trace_rays_fused(
         depth=st0.depth, mode=st0.mode, ctr=st0.ctr,
     )
 
-    # Prologue: first half of iteration 0 in plain jnp (once, not hot).
-    from ..utils import rng as vrng
+    stream_full = jnp.broadcast_to(
+        jnp.asarray(stream, jnp.uint32).reshape(-1), (N,)
+    ) if jnp.asarray(stream).ndim <= 1 and jnp.asarray(stream).size in (1, N) \
+        else jnp.asarray(stream, jnp.uint32)
+    stream_full = jnp.broadcast_to(jnp.asarray(stream_full, jnp.uint32), (N,))
 
-    u = vrng.counter_uniforms(pixel_ids, stream, st0.ctr, 4)
-    active0 = state["mode"] != DONE
-    has_seg = state["t_seg"] > state["t"]
-    sig0 = jnp.maximum(state["sig_seg"], _TINY)
-    dt_w = -jnp.log1p(-u[:, 0]) / sig0
-    t_cand0 = state["t"] + dt_w / medium.density.voxel_size
-    collide0 = active0 & has_seg & (state["sig_seg"] > 0.0) & (t_cand0 < state["t_seg"])
-    t_next0 = jnp.where(has_seg, state["t_seg"], state["t"])
-    t_gather = jnp.where(collide0, t_cand0, t_next0 + _LOOKAHEAD)
-    O = jnp.asarray(medium.density.origin_ijk, jnp.float32)
-    pipe = dict(
-        lpx=state["ox"] + state["dx"] * t_gather - O[0],
-        lpy=state["oy"] + state["dy"] * t_gather - O[1],
-        lpz=state["oz"] + state["dz"] * t_gather - O[2],
-        t_cand=t_cand0,
-        t_next=t_next0,
-        u1=u[:, 1], u2=u[:, 2], u3=u[:, 3],
-        collide=collide0.astype(jnp.int32),
-    )
-
-    stream_arr = jnp.broadcast_to(
-        jnp.asarray(stream, jnp.uint32).reshape(-1)[0], (1, 1)
-    ).astype(jnp.uint32)
-
-    i_lpx, i_lpy, i_lpz = (PIPE_F32.index(n) for n in ("lpx", "lpy", "lpz"))
+    prestep = make_prestep(medium, params, bb_table, emission_on)
     i_mode = STATE_I32.index("mode")
-    iLx = STATE_F32.index("Lx")
 
     # Staged compaction (same idea as integrator.trace_rays): most lanes
     # retire within tens of iterations; once the alive tail fits a narrower
@@ -697,7 +631,7 @@ def trace_rays_fused(
         w = max(1024, -(-(w // 2) // 1024) * 1024)
         widths.append(w)
 
-    def run_stage(state_t, pipe_t, pids_t, it, width, next_w):
+    def run_stage(state_t, pids_t, stream_t, it, width, next_w):
         blk = next(
             b for b in (block_lanes, 16384, 8192, 4096, 2048, 1024)
             if b <= width and width % b == 0
@@ -705,22 +639,17 @@ def trace_rays_fused(
         call = _pallas_step_call(
             medium, params, emission_on, width, blk, interpret
         )
-        pids2d = _as2d(pids_t.astype(jnp.int32))
+        pids2d = _as2d(pids_t.astype(jnp.uint32))
+        stream2d = _as2d(stream_t.astype(jnp.uint32))
         sf = jnp.stack([_as2d(state_t[n]) for n in STATE_F32])
         si = jnp.stack([_as2d(state_t[n]) for n in STATE_I32])
-        pf = jnp.stack([_as2d(pipe_t[n]) for n in PIPE_F32])
-        pi = jnp.stack([_as2d(pipe_t[n]) for n in PIPE_I32])
 
         def body(carry):
-            sf, si, pf, pi, it, alive = carry
-            fetched = fetch_rows(
-                medium, params, bb_table,
-                pf[i_lpx], pf[i_lpy], pf[i_lpz], pi[0],
-            )
-            fe = jnp.stack(fetched)
-            sf, si, pf, pi = call(pids2d, stream_arr, sf, si, pf, pi, fe)
+            sf, si, it, alive = carry
+            ff, fi = prestep(pids2d, stream2d, sf, si)
+            sf, si = call(sf, si, ff, fi)
             alive_out = jnp.sum((si[i_mode] != DONE).astype(jnp.int32))
-            return sf, si, pf, pi, it + 1, alive_out
+            return sf, si, it + 1, alive_out
 
         def cond(carry):
             *_, it, alive = carry
@@ -730,22 +659,21 @@ def trace_rays_fused(
             return go
 
         alive0 = jnp.sum((state_t["mode"] != DONE).astype(jnp.int32))
-        sf, si, pf, pi, it, alive = jax.lax.while_loop(
-            cond, body, (sf, si, pf, pi, it, alive0)
+        sf, si, it, alive = jax.lax.while_loop(
+            cond, body, (sf, si, it, alive0)
         )
         state_o = {n: sf[i].reshape(-1) for i, n in enumerate(STATE_F32)}
         state_o.update({n: si[i].reshape(-1) for i, n in enumerate(STATE_I32)})
-        pipe_o = {n: pf[i].reshape(-1) for i, n in enumerate(PIPE_F32)}
-        pipe_o.update({n: pi[i].reshape(-1) for i, n in enumerate(PIPE_I32)})
-        return state_o, pipe_o, it
+        return state_o, it
 
     out = jnp.zeros((N, 3), jnp.float32)
     idx_map = jnp.arange(N, dtype=jnp.int32)
     pids_t = pixel_ids
+    stream_t = stream_full
     it = jnp.int32(0)
     width = N
     for next_w in widths + [None]:
-        state, pipe, it = run_stage(state, pipe, pids_t, it, width, next_w)
+        state, it = run_stage(state, pids_t, stream_t, it, width, next_w)
         L_stage = jnp.stack(
             [state["Lx"], state["Ly"], state["Lz"]], axis=-1
         )
@@ -755,9 +683,9 @@ def trace_rays_fused(
         order = jnp.argsort((state["mode"] == DONE).astype(jnp.int32), stable=True)
         keep = order[:next_w]
         state = {k: v[keep] for k, v in state.items()}
-        pipe = {k: v[keep] for k, v in pipe.items()}
         idx_map = idx_map[keep]
         pids_t = pids_t[keep]
+        stream_t = stream_t[keep]
         width = next_w
 
     n_capped = jnp.sum((state["mode"] != DONE).astype(jnp.int32))
