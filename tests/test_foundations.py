@@ -152,6 +152,28 @@ class TestSpectral:
         # Y increases with temperature in this range
         assert float(g) > 0
 
+    def test_extended_table_covers_high_temperatures(self):
+        # The reference integrates exactly for T >= 49,900 K
+        # (precompute_blackbody.cpp:25-36); we size the table to the scene's
+        # max temperature instead. A 60,000 K lookup through the extended
+        # table must match direct integration; the default 500-slot table
+        # clamps (documented behavior for out-of-table input).
+        n = spectral.breakpoints_for_max_temp(60000.0)
+        assert n >= 602
+        big = jnp.asarray(spectral.blackbody_xyz_table(n))
+        # Default-table region is bit-identical (same breakpoints).
+        small = jnp.asarray(spectral.blackbody_xyz_table())
+        np.testing.assert_array_equal(np.asarray(big[:500]), np.asarray(small))
+        direct = spectral.blackbody_spectrum_to_xyz(60000.0)
+        lut = np.asarray(spectral.blackbody_radiation_xyz(big, jnp.array(60000.0)))
+        np.testing.assert_allclose(lut, direct, rtol=2e-2)
+        clamped = np.asarray(
+            spectral.blackbody_radiation_xyz(small, jnp.array(60000.0))
+        )
+        # Out-of-table input pins to the table end (linear continuation of
+        # the last segment, within a fraction of a percent of the endpoint).
+        np.testing.assert_allclose(clamped, np.asarray(small[-1]), rtol=5e-3)
+
     def test_planck_peak_wien(self):
         # Wien displacement: peak wavelength ~ 2.898e-3 / T
         lam = np.linspace(2e-7, 3e-6, 2000).astype(np.float32)

@@ -458,7 +458,7 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
         # Temperature trilinear sample at the same (collision) point, via the
         # temperature grid's own transform (worker.cpp:153-155), then the
         # blackbody LUT lerp (utils/spectral.py) — all in this fusion.
-        from ..utils.spectral import N_BREAKPOINTS, RESOLUTION, TEMP_MAX
+        from ..utils.spectral import RESOLUTION
         from ..grids.grid import sample_trilinear_rows
 
         dg, tg = medium.density, medium.temperature
@@ -473,9 +473,10 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
         assert medium.temperature_rows is not None
         temp_adim = sample_trilinear_rows(medium.temperature_rows, tg.shape, tp)
         temp_k = temp_adim * params.temperature_scale + params.temperature_offset
-        tc = jnp.clip(temp_k, 0.0, TEMP_MAX - 1e-3)
+        nbb = bb_table.shape[0]
+        tc = jnp.clip(temp_k, 0.0, (nbb - 1) * RESOLUTION - 1e-3)
         ti = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
-        ti = jnp.clip(ti, 0, N_BREAKPOINTS - 2)
+        ti = jnp.clip(ti, 0, nbb - 2)
         frac = tc / RESOLUTION - (ti - 1).astype(tc.dtype)
         lo = jnp.take(bb_table, ti.reshape(-1), axis=0).reshape(ti.shape + (3,))
         hi = jnp.take(bb_table, (ti + 1).reshape(-1), axis=0).reshape(ti.shape + (3,))

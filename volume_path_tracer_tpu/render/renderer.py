@@ -74,7 +74,17 @@ def pixel_coords(width: int, height: int) -> np.ndarray:
 
 def _bb_table_for(medium: Medium, params: IntegratorParams):
     if medium.has_temperature and params.le_scale != 0.0:
-        return jnp.asarray(blackbody_xyz_table())
+        # Size the LUT to cover the scene's hottest reachable temperature
+        # (trilinear interpolation never exceeds the max corner value), so
+        # the reference's T >= 49,900 K exact-integration fallback
+        # (precompute_blackbody.cpp:25-36) is subsumed by table coverage.
+        from ..utils.spectral import breakpoints_for_max_temp
+
+        t_max = (
+            float(jnp.max(medium.temperature.data)) * params.temperature_scale
+            + params.temperature_offset
+        )
+        return jnp.asarray(blackbody_xyz_table(breakpoints_for_max_temp(t_max)))
     return None
 
 

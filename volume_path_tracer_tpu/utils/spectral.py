@@ -15,11 +15,15 @@ builds it at startup too, main.cpp:32) and shipped to the device as a small
 (gather + lerp), fully differentiable w.r.t. temperature, and is fused by XLA
 into the integrator loop.
 
-Deviation from the reference (documented): for T >= 49,900 K the reference
-falls back to exact spectral integration at runtime; we clamp to the last LUT
-breakpoint instead, because data-dependent 471-term integration inside a jit
-region would destroy TPU performance. Fire scenes peak far below this
-(temperature_scale=43 => ~43*T_adim+300 K).
+Above-table temperatures: the reference falls back to exact spectral
+integration at runtime for T >= 49,900 K (precompute_blackbody.cpp:25-36).
+Data-dependent 471-term integration inside a jit region would destroy TPU
+performance, so instead the table is SIZED TO COVER the scene: callers pass
+n_breakpoints = breakpoints_for_max_temp(scene max temperature) (the
+renderer derives it from the loaded temperature grid), so no reachable
+temperature ever exceeds the table and every lookup is a 100 K lerp of
+exactly-integrated breakpoints. Temperatures beyond even that (unbounded
+user input) clamp to the last breakpoint.
 """
 from __future__ import annotations
 
@@ -73,13 +77,31 @@ def _idx_to_temp(idx: int) -> float:
     return (idx - 1) * RESOLUTION
 
 
-@functools.lru_cache(maxsize=1)
-def blackbody_xyz_table() -> np.ndarray:
-    """The [500, 3] blackbody XYZ LUT, breakpoint i at temperature (i-1)*100 K."""
-    table = np.zeros((N_BREAKPOINTS, 3), dtype=np.float32)
-    for i in range(N_BREAKPOINTS):
+@functools.lru_cache(maxsize=8)
+def blackbody_xyz_table(n_breakpoints: int = N_BREAKPOINTS) -> np.ndarray:
+    """The [n, 3] blackbody XYZ LUT, breakpoint i at temperature (i-1)*100 K.
+
+    The default n matches the reference's 500-slot table; pass a larger n
+    (see breakpoints_for_max_temp) to cover scenes hotter than 49,900 K —
+    the runtime lookup derives its range from the table's actual length.
+    """
+    table = np.zeros((n_breakpoints, 3), dtype=np.float32)
+    for i in range(n_breakpoints):
         table[i] = blackbody_spectrum_to_xyz(_idx_to_temp(i))
     return table
+
+
+def breakpoints_for_max_temp(t_max_k: float) -> int:
+    """Table length covering temperatures up to t_max_k (>= the default 500).
+
+    Replaces the reference's runtime exact-integration fallback for
+    T >= 49,900 K: sizing the table at scene load keeps every reachable
+    temperature inside the lerp range at the same 100 K resolution.
+    """
+    import math
+
+    need = int(math.ceil(max(0.0, float(t_max_k)) / RESOLUTION)) + 2
+    return max(N_BREAKPOINTS, need)
 
 
 def blackbody_radiation_xyz(table: jnp.ndarray, temperature_k: jnp.ndarray) -> jnp.ndarray:
@@ -87,14 +109,17 @@ def blackbody_radiation_xyz(table: jnp.ndarray, temperature_k: jnp.ndarray) -> j
 
     Mirrors precompute_blackbody.cpp:25-52: T <= 0 -> 0; otherwise linear
     interpolation between the two straddling breakpoints of the shifted
-    table. Differentiable w.r.t. temperature_k.
-    temperatures >= TEMP_MAX clamp to the last breakpoint (see module note).
+    table. Differentiable w.r.t. temperature_k. The covered range derives
+    from the table's length (see breakpoints_for_max_temp); temperatures
+    beyond it clamp to the last breakpoint.
     """
     t = jnp.asarray(temperature_k)
+    n = table.shape[0]
+    t_max = (n - 1) * RESOLUTION
     # Shifted table: temperature T lives between slots floor(T/100)+1 and +2.
-    tc = jnp.clip(t, 0.0, TEMP_MAX - 1e-3)
+    tc = jnp.clip(t, 0.0, t_max - 1e-3)
     idx = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
-    idx = jnp.clip(idx, 0, N_BREAKPOINTS - 2)
+    idx = jnp.clip(idx, 0, n - 2)
     frac = tc / RESOLUTION - (idx - 1).astype(tc.dtype)
     lo = table[idx]
     hi = table[idx + 1]
@@ -111,13 +136,15 @@ def blackbody_radiation_xyz_value_grad(table: jnp.ndarray, temperature_k: jnp.nd
     or the clamp to [0, TEMP_MAX) is in effect.
     """
     t = jnp.asarray(temperature_k)
-    tc = jnp.clip(t, 0.0, TEMP_MAX - 1e-3)
+    n = table.shape[0]
+    t_max = (n - 1) * RESOLUTION
+    tc = jnp.clip(t, 0.0, t_max - 1e-3)
     idx = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
-    idx = jnp.clip(idx, 0, N_BREAKPOINTS - 2)
+    idx = jnp.clip(idx, 0, n - 2)
     frac = tc / RESOLUTION - (idx - 1).astype(tc.dtype)
     lo = table[idx]
     hi = table[idx + 1]
     out = lo + (hi - lo) * frac[..., None]
-    in_range = (t > 0.0) & (t < TEMP_MAX - 1e-3)
+    in_range = (t > 0.0) & (t < t_max - 1e-3)
     grad = jnp.where(in_range[..., None], (hi - lo) / RESOLUTION, 0.0)
     return jnp.where(t[..., None] <= 0.0, 0.0, out), grad
