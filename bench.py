@@ -282,12 +282,21 @@ def bench_verify():
         out[f"{name}_rays_per_s"] = round(rays, 1)
         out[f"{name}_pass_times_s"] = times
     a, b = images["xla"], images["fused"]
-    lane_exact = float(np.mean(np.all(a == b, axis=-1)))
+    # Bitwise equality is the wrong metric on hardware: XLA and Mosaic lower
+    # log1p/sin/cos with ulp-level differences, so nearly every multi-bounce
+    # lane differs in the last bits. Lane agreement = isclose; knife-edge
+    # event flips (a branch decided by one ulp) leave a small disagreeing
+    # remainder, bounded below.
+    lane_bitwise = float(np.mean(np.all(a == b, axis=-1)))
+    lane_close = float(
+        np.mean(np.isclose(a, b, rtol=1e-3, atol=1e-4).all(-1))
+    )
     rel_mean = abs(a.mean() - b.mean()) / max(abs(a.mean()), 1e-9)
-    out["lane_exact_fraction"] = round(lane_exact, 4)
+    out["lane_bitwise_fraction"] = round(lane_bitwise, 4)
+    out["lane_close_fraction"] = round(lane_close, 4)
     out["mean_rel_diff"] = round(float(rel_mean), 6)
     assert rel_mean < 0.01, f"mean mismatch: {rel_mean}"
-    assert lane_exact > 0.9, f"lane-exact fraction too low: {lane_exact}"
+    assert lane_close > 0.9, f"lane agreement too low: {lane_close}"
     return out
 
 

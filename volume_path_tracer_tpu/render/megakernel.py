@@ -580,7 +580,7 @@ def trace_rays_fused(
     d_world: jnp.ndarray,
     pixel_ids: jnp.ndarray,
     stream,
-    block_lanes: int = 16384,
+    block_lanes: int = 8192,
     interpret: bool = False,
 ):
     """Forward render via the Pallas megakernel; same contract as trace_rays.
@@ -633,8 +633,11 @@ def trace_rays_fused(
         widths.append(w)
 
     def run_stage(state_t, pids_t, stream_t, it, width, next_w):
+        # 8192-lane blocks by default: a [21+3+14+1, 64, 128] block set fits
+        # VMEM with room for double buffering; 16384-lane blocks nearly fill
+        # the 16 MB scoped limit and measurably slow the kernel (PERF.md §1).
         blk = next(
-            b for b in (block_lanes, 16384, 8192, 4096, 2048, 1024)
+            b for b in (block_lanes, 8192, 4096, 2048, 1024)
             if b <= width and width % b == 0
         )
         call = _pallas_step_call(
