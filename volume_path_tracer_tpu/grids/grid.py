@@ -152,16 +152,27 @@ def pack_corner_rows(data: jnp.ndarray) -> jnp.ndarray:
     """
     X, Y, Z = data.shape
     p = jnp.pad(data, ((1, 1), (1, 1), (1, 1)))
-    c = jnp.stack(
-        [
-            p[dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1]
-            for dx in (0, 1)
-            for dy in (0, 1)
-            for dz in (0, 1)
-        ],
-        axis=-1,
-    )
-    return c.reshape(-1, 8)
+    # Built one X-slab at a time under a scan: the all-at-once stack+reshape
+    # materializes several full-table temporaries, which OOMs HBM for
+    # production-scale grids (512^3 -> 4.3 GB table; peak was ~3x that).
+    # The scan allocates the output once and stays reverse-differentiable
+    # (the corner table is the differentiable path for packed training).
+    R = (Y + 1) * (Z + 1)
+
+    def slab(_, i):
+        corners = jnp.stack(
+            [
+                jax.lax.dynamic_slice(p, (i + dx, dy, dz), (1, Y + 1, Z + 1))[0]
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=-1,
+        )
+        return None, corners.reshape(R, 8)
+
+    _, rows = jax.lax.scan(slab, None, jnp.arange(X + 1))
+    return rows.reshape(-1, 8)
 
 
 def corner_row_index(shape, i0: jnp.ndarray):
