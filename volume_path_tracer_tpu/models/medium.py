@@ -39,10 +39,18 @@ def pack_fused_rows(data: jnp.ndarray, pyr: MajorantPyramid) -> jnp.ndarray:
     ~1.0-1.1 ms per 64Ki gathers; 40+ byte rows cost ~1.5x), so fusing the two
     fetches into one gather halves the loop's dominant cost.
     """
-    corners = pack_corner_rows(data)  # [(X+1)(Y+1)(Z+1), 8]
-    maj = jax.lax.stop_gradient(pyr.rows)  # [NB, 2]
-    majp = jnp.pad(maj, ((0, 0), (0, corners.shape[1] - maj.shape[1])))
-    return jnp.concatenate([corners, majp], axis=0)
+    # One jit region: built eagerly, the 8x corner table's intermediates
+    # (scan output, reshape copy, concatenate operands) accumulate to ~3x
+    # the table and OOM HBM at production scale (512^3 -> 4.3 GB table);
+    # under jit the reshape is a bitcast and XLA frees intermediates.
+    @jax.jit
+    def _build(data_, rows_):
+        corners = pack_corner_rows(data_)  # [(X+1)(Y+1)(Z+1), 8]
+        maj = jax.lax.stop_gradient(rows_)  # [NB, 2]
+        majp = jnp.pad(maj, ((0, 0), (0, corners.shape[1] - maj.shape[1])))
+        return jnp.concatenate([corners, majp], axis=0)
+
+    return _build(data, pyr.rows)
 
 
 @jax.tree_util.register_dataclass
