@@ -99,10 +99,13 @@ def main():
             f"{rays/dt/1e6:.2f}M rays/s total, "
             f"{rays/dt/n_dev/1e6:.3f}M rays/s/chip over {n_dev} chips"
         )
-        out = multihost.gather_film_to_host(film)
-        if out is not None:
-            out = out[:npix].reshape(H, W, 4)
-            print(f"[multihost] film shape {out.shape}, mean w {out[..., 3].mean():.1f}")
+    # gather_film_to_host runs an XLA all-gather when the film is cross-host
+    # sharded: EVERY process must call it (a process-0-only call deadlocks
+    # the collective and trips the jax.distributed shutdown barrier).
+    out = multihost.gather_film_to_host(film)
+    if jax.process_index() == 0 and out is not None:
+        out = out[:npix].reshape(H, W, 4)
+        print(f"[multihost] film shape {out.shape}, mean w {out[..., 3].mean():.1f}")
 
     if args.train:
         # Joint density/temperature optimization toward a REAL rendered

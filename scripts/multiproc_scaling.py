@@ -61,10 +61,14 @@ def run_topology(n_procs: int, dev_per_proc: int, size: int, waves: int):
     for p in procs:
         assert p.returncode == 0, outs[procs.index(p)][-2000:]
     out0 = outs[0]
-    m = re.search(r"([\d.]+)M rays/s total", out0)
+    # Recompute rays/s from the printed render time (the example's M-rays/s
+    # print has too few digits at CPU-scale throughputs).
+    m = re.search(r"rays in ([\d.]+)s", out0)
     mw = re.search(r"mean w ([\d.]+)", out0)
     assert m, out0[-2000:]
-    return float(m.group(1)), float(mw.group(1)) if mw else None, wall
+    render_s = float(m.group(1))
+    rays = size * size * waves
+    return rays / render_s, float(mw.group(1)) if mw else None, wall
 
 
 def main():
@@ -77,7 +81,7 @@ def main():
     for n_procs in (1, 2, 4):
         rays, mean_w, wall = run_topology(n_procs, 2, args.size, args.waves)
         rows.append((n_procs, 2, n_procs * 2, rays, mean_w, wall))
-        print(f"{n_procs} proc x 2 dev: {rays:.3f} M rays/s, mean_w={mean_w}, "
+        print(f"{n_procs} proc x 2 dev: {rays:,.0f} rays/s, mean_w={mean_w}, "
               f"wall {wall:.0f}s", flush=True)
 
     mws = {r[4] for r in rows}
@@ -95,11 +99,11 @@ def main():
             "cross-process film gather, identical film statistics. The host has\n"
             "2 physical cores shared by all topologies, so rays/s here measures\n"
             "CPU contention, not chip scaling.\n\n"
-            "| processes | devices/proc | global devices | M rays/s total | film mean w | wall s |\n"
+            "| processes | devices/proc | global devices | rays/s total | film mean w | wall s |\n"
             "|---|---|---|---|---|---|\n"
         )
         for n, d, g, rays, mw, wall in rows:
-            f.write(f"| {n} | {d} | {g} | {rays:.3f} | {mw} | {wall:.0f} |\n")
+            f.write(f"| {n} | {d} | {g} | {rays:,.0f} | {mw} | {wall:.0f} |\n")
     print("wrote MULTIHOST.md", flush=True)
 
 
