@@ -657,6 +657,80 @@ def count_capped(st: RayState) -> jnp.ndarray:
     return jnp.sum((st.mode != DONE).astype(jnp.int32))
 
 
+def alive_first_perm(done: jnp.ndarray) -> jnp.ndarray:
+    """Stable alive-first permutation: indices of all alive lanes in order,
+    then all done lanes in order — argsort(done, stable) without the sort.
+
+    A bitonic argsort costs O(N log^2 N) multi-pass on TPU (~ms at 64K
+    lanes, and it runs at every compaction stage); this cumsum partition is
+    two scans + one scatter, bitwise-identical output.
+    """
+    n = done.shape[0]
+    alive = ~done
+    na = jnp.cumsum(alive.astype(jnp.int32))
+    nd = jnp.cumsum(done.astype(jnp.int32))
+    pos = jnp.where(alive, na - 1, na[-1] + nd - 1)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n, dtype=jnp.int32))
+
+
+def compact_lanes(keep: jnp.ndarray, tree):
+    """Gather lanes `keep` from every [N]/[N,C] leaf of `tree` in ONE gather.
+
+    Per-array element gathers pay the TPU gather engine per ELEMENT — at a
+    65K->32K compaction the ~26 state arrays cost ~6.1 ms, which round 2/3
+    profiling showed was ~40% of the whole wave. Packing all leaves into one
+    [N, F] matrix (bitcasting non-f32 leaves) turns the stage compaction
+    into a single row gather: ~0.5 ms for the same width (12x). Bitwise
+    identical results — bitcast/transpose round-trips are exact.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    cols = []
+    meta = []
+    for leaf in leaves:
+        a = leaf
+        dt = a.dtype
+        if dt == jnp.bool_:
+            a = a.astype(jnp.int32)
+        if a.dtype != jnp.float32:
+            a = jax.lax.bitcast_convert_type(a, jnp.float32)
+        if a.ndim == 1:
+            cols.append(a)
+        else:
+            cols.extend(a[:, j] for j in range(a.shape[1]))
+        meta.append((dt, 1 if leaf.ndim == 1 else leaf.shape[1]))
+    M = jnp.stack(cols, axis=1)  # [N, F]
+    G = jnp.take(M, keep, axis=0)  # one row gather
+    out = []
+    ci = 0
+    for dt, nc in meta:
+        a = G[:, ci] if nc == 1 else G[:, ci:ci + nc]
+        ci += nc
+        if dt == jnp.bool_:
+            a = jax.lax.bitcast_convert_type(a, jnp.int32).astype(jnp.bool_)
+        elif dt != jnp.float32:
+            a = jax.lax.bitcast_convert_type(a, dt)
+        out.append(a)
+    return jax.tree.unflatten(treedef, out)
+
+
+def compaction_widths(N, min_width=512, num=1, den=2, max_stages=8, align=1):
+    """Static compaction ladder: stage widths from N down to min_width.
+
+    Each stage ends when the alive count fits the next width; a finer ladder
+    (num/den closer to 1) wastes fewer lane-iterations on retired lanes —
+    per-iteration cost is one row gather per LANE, alive or not — at the
+    price of more compiled stages and compaction passes. Halving measured
+    best on the flagship scene (A/B vs 5/8 and 3/4, PERF.md section 2);
+    align keeps widths legal for the Pallas kernel's (8, 128) tiling.
+    """
+    widths = []
+    w = N
+    while w > min_width and len(widths) < max_stages:
+        w = max(min_width, -(-(w * num // den) // align) * align)
+        widths.append(w)
+    return widths
+
+
 def trace_rays(
     medium: Medium,
     params: IntegratorParams,
@@ -689,14 +763,7 @@ def trace_rays(
     # compaction can narrow it alongside pixel_ids.
     stream = jnp.broadcast_to(jnp.asarray(stream, jnp.uint32), (N,))
 
-    # Static compaction schedule: halve the width whenever the alive tail
-    # fits (each stage ends when alive <= next width; the argsort compaction
-    # is cheap relative to iterations spent on retired lanes).
-    widths = []
-    w = N
-    while w > 512 and len(widths) < 8:
-        w = max(512, w // 2)
-        widths.append(w)
+    widths = compaction_widths(N)
 
     out = jnp.zeros((N, 3), jnp.float32)
     idx_map = jnp.arange(N, dtype=jnp.int32)
@@ -738,12 +805,10 @@ def trace_rays(
         if next_w is None:
             break
         # Compact: alive lanes first (stable), truncate to next width.
-        order = jnp.argsort((st.mode == DONE).astype(jnp.int32), stable=True)
-        keep = order[:next_w]
-        st = jax.tree.map(lambda a: a[keep], st)
-        idx_map = idx_map[keep]
-        pids = pids[keep]
-        stream = stream[keep]
+        keep = alive_first_perm(st.mode == DONE)[:next_w]
+        st, idx_map, pids, stream = compact_lanes(
+            keep, (st, idx_map, pids, stream)
+        )
 
     return out, it, count_capped(st)
 

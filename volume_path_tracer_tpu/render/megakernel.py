@@ -622,15 +622,13 @@ def trace_rays_fused(
     prestep = make_prestep(medium, params, bb_table, emission_on)
     i_mode = STATE_I32.index("mode")
 
-    # Staged compaction (same idea as integrator.trace_rays): most lanes
+    # Staged compaction (same ladder as integrator.trace_rays): most lanes
     # retire within tens of iterations; once the alive tail fits a narrower
     # (statically-shaped) buffer, gather alive lanes to the front and run a
     # narrower loop. Widths stay multiples of 1024 so the kernel tiles.
-    widths = []
-    w = N
-    while w > 1024 and len(widths) < 8:
-        w = max(1024, -(-(w // 2) // 1024) * 1024)
-        widths.append(w)
+    from .integrator import compaction_widths
+
+    widths = compaction_widths(N, min_width=1024, align=1024)
 
     def run_stage(state_t, pids_t, stream_t, it, width, next_w):
         # 8192-lane blocks by default: a [21+3+14+1, 64, 128] block set fits
@@ -684,12 +682,12 @@ def trace_rays_fused(
         out = out.at[idx_map].set(L_stage)
         if next_w is None:
             break
-        order = jnp.argsort((state["mode"] == DONE).astype(jnp.int32), stable=True)
-        keep = order[:next_w]
-        state = {k: v[keep] for k, v in state.items()}
-        idx_map = idx_map[keep]
-        pids_t = pids_t[keep]
-        stream_t = stream_t[keep]
+        from .integrator import alive_first_perm, compact_lanes
+
+        keep = alive_first_perm(state["mode"] == DONE)[:next_w]
+        state, idx_map, pids_t, stream_t = compact_lanes(
+            keep, (state, idx_map, pids_t, stream_t)
+        )
         width = next_w
 
     n_capped = jnp.sum((state["mode"] != DONE).astype(jnp.int32))
