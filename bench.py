@@ -164,10 +164,15 @@ def _render_throughput(medium, camera, params, W, H, spp, bb=None, seed=10,
 def bench_primary():
     from volume_path_tracer_tpu.grids.procedural import fog_sphere
     from volume_path_tracer_tpu.models.medium import Medium
+    from volume_path_tracer_tpu.render.megakernel import trace_rays_fused
 
+    # Production path: the Pallas megakernel (head-to-head vs the XLA loop
+    # in PERF.md section 4; --verify cross-checks the two on this chip).
     medium = Medium.from_grids(fog_sphere(radius=30.0, falloff=6.0))
     camera = _camera(256, 256, (110.0, 0.0, 0.0))
-    rays_per_s, _, times = _render_throughput(medium, camera, _wdas_params(), 256, 256, 16)
+    rays_per_s, _, times = _render_throughput(
+        medium, camera, _wdas_params(), 256, 256, 16, tracer=trace_rays_fused
+    )
     return rays_per_s, times
 
 
