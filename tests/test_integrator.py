@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from volume_path_tracer_tpu.grids.grid import dense_grid_from_array
 from volume_path_tracer_tpu.models.medium import Medium
+from volume_path_tracer_tpu.render import integrator
 from volume_path_tracer_tpu.render.integrator import (
     IntegratorParams,
     trace_rays,
@@ -270,3 +271,38 @@ class TestIterationCapPolicy:
         L = np.asarray(L)
         assert np.count_nonzero(L.sum(-1)) == n - ncap
         np.testing.assert_allclose(L[L.sum(-1) > 0], 7.0, rtol=1e-6)
+
+
+class TestCompaction:
+    """Unit tests for the batched-lane compaction helpers (round 3).
+
+    compact_lanes must be bitwise equivalent to per-array fancy indexing,
+    and alive_first_perm to a stable argsort of the done flags — the render
+    results' bitwise invariance under compaction depends on both.
+    """
+
+    def test_alive_first_perm_matches_stable_argsort(self):
+        rng = np.random.default_rng(0)
+        for n in (8, 127, 1024):
+            done = jnp.asarray(rng.uniform(size=n) < 0.6)
+            ref = np.argsort(np.asarray(done).astype(np.int32), kind="stable")
+            got = np.asarray(integrator.alive_first_perm(done))
+            np.testing.assert_array_equal(got, ref)
+
+    def test_compact_lanes_bitwise_equals_fancy_indexing(self):
+        rng = np.random.default_rng(1)
+        n, k = 512, 200
+        tree = {
+            "f": jnp.asarray(rng.standard_normal(n).astype(np.float32)),
+            "v3": jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32)),
+            "i": jnp.asarray(rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64).astype(np.int32)),
+            "u": jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)),
+            "b": jnp.asarray(rng.uniform(size=n) < 0.5),
+        }
+        keep = jnp.asarray(rng.permutation(n)[:k].astype(np.int32))
+        out = integrator.compact_lanes(keep, tree)
+        for key, leaf in tree.items():
+            expect = np.asarray(leaf)[np.asarray(keep)]
+            got = np.asarray(out[key])
+            assert got.dtype == expect.dtype, key
+            np.testing.assert_array_equal(got, expect, err_msg=key)
