@@ -121,8 +121,30 @@ def _corner_scatter_indices(shape, i0):
     return flat, valid
 
 
+def fold_corner_rows(rows: jnp.ndarray, shape) -> jnp.ndarray:
+    """Fold a corner-row-layout gradient table back into the [X,Y,Z] grid.
+
+    Row r = base coord b (covering -1..dim-1 per axis, see
+    grids/grid.corner_row_index); column c holds the contribution to voxel
+    b + _CORNER_OFFSETS[c]. Voxel v therefore sums table[(v - off_c) + 1, c]
+    over the 8 corners — 8 shifted dense slices, one pass. Out-of-grid
+    corner positions are never read, matching the per-corner validity
+    masking of a flat scatter.
+    """
+    X, Y, Z = shape
+    t4 = rows.reshape(X + 1, Y + 1, Z + 1, 8)
+    out = None
+    for c, (dx, dy, dz) in enumerate(_CORNER_OFFSETS):
+        sl = t4[
+            1 - dx : 1 - dx + X, 1 - dy : 1 - dy + Y, 1 - dz : 1 - dz + Z, c
+        ]
+        out = sl if out is None else out + sl
+    return out
+
+
 def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
-    """One backward-replay iteration: returns step(st, u, g_vec, gd, gt)."""
+    """One backward-replay iteration: returns step(st, u, gL_tot, g_vec,
+    gd_rows, gt_rows) with gradients accumulated in corner-row layout."""
     dgrid = medium.density
     O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
     shape_f = jnp.asarray(dgrid.shape, dtype=jnp.float32)
@@ -144,7 +166,7 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
 
     traverse = make_traversal(medium, params)
 
-    def step(st: ReplayState, u, gL_tot, g_vec, gd_flat, gt_flat):
+    def step(st: ReplayState, u, gL_tot, g_vec, gd_rows, gt_rows):
         # Truncation parity: forward lanes stop drawing at max_iters.
         trunc = (st.mode != RDONE) & (st.ctr >= params.max_iters)
         mode0 = jnp.where(trunc, RDONE, st.mode)
@@ -323,25 +345,31 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
         ctr_new = jnp.where(go_grad, st.sh_ctr0, st.ctr) + 1
 
         # =========== gradient scatter-adds ===========
+        # Row scatter into the CORNER-ROW layout: one [8]-row add per lane
+        # instead of 8 element adds — TPU scatters pay per ROW like gathers
+        # (PERF.md section 4: 12x), and replay_grads folds the row table back
+        # into the [X,Y,Z] grid once at the end. Out-of-grid corners write
+        # into row/column combinations the fold never reads, reproducing the
+        # old per-corner validity masking exactly.
         X, Y, Z = dgrid.shape
         i0 = jnp.floor(tr.lp).astype(jnp.int32)
         f = tr.lp - i0.astype(tr.lp.dtype)
-        from ..grids.grid import trilinear_weights
+        from ..grids.grid import corner_row_index, trilinear_weights
 
         w8 = trilinear_weights(f)
-        flat8, valid8 = _corner_scatter_indices((X, Y, Z), i0)
+        row8, rvalid = corner_row_index((X, Y, Z), i0)
         dweight = demis + score_w + shadow_w  # disjoint lane sets
-        gd_flat = gd_flat.at[flat8].add(
-            jnp.where(valid8, w8 * dweight[:, None], 0.0)
+        gd_rows = gd_rows.at[row8].add(
+            jnp.where(rvalid[:, None], w8 * dweight[:, None], 0.0)
         )
-        if emission_on and gt_flat is not None:
+        if emission_on and gt_rows is not None:
             tgrid = medium.temperature
             i0t = jnp.floor(tp_local).astype(jnp.int32)
             ft = tp_local - i0t.astype(tp_local.dtype)
             w8t = trilinear_weights(ft)
-            flat8t, valid8t = _corner_scatter_indices(tgrid.shape, i0t)
-            gt_flat = gt_flat.at[flat8t].add(
-                jnp.where(valid8t, w8t * tw[:, None], 0.0)
+            row8t, rvalidt = corner_row_index(tgrid.shape, i0t)
+            gt_rows = gt_rows.at[row8t].add(
+                jnp.where(rvalidt[:, None], w8t * tw[:, None], 0.0)
             )
 
         st_new = ReplayState(
@@ -353,7 +381,7 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
             sh_ctr0=sh_ctr0_new, sh_t0=sh_t0_new, sh_t1=sh_t1_new,
             ctr=ctr_new,
         )
-        return st_new, gd_flat, gt_flat
+        return st_new, gd_rows, gt_rows
 
     return step
 
@@ -415,38 +443,71 @@ def replay_grads(
     with_check=True additionally returns (gL_acc, gL_tot) so tests can assert
     the replayed accumulation reproduces <g, L_fwd> lane-for-lane.
     """
+    from ..render.integrator import (
+        alive_first_perm,
+        compact_lanes,
+        compaction_widths,
+    )
+
     step = _make_replay_step(medium, params, bb_table)
     st0 = _replay_init(medium, params, o_world, d_world, g_vec)
-    gL_tot = jnp.sum(g_vec * L_fwd, axis=-1)
+    gL_tot_full = jnp.sum(g_vec * L_fwd, axis=-1)
+    N = st0.t.shape[0]
+    stream = jnp.broadcast_to(jnp.asarray(stream, jnp.uint32), (N,))
 
     X, Y, Z = medium.density.shape
-    gd0 = jnp.zeros((X * Y * Z,), jnp.float32)
+    gd0 = jnp.zeros(((X + 1) * (Y + 1) * (Z + 1), 8), jnp.float32)
     emission_on = medium.has_temperature and params.le_scale != 0.0
     if emission_on:
         tX, tY, tZ = medium.temperature.shape
-        gt0 = jnp.zeros((tX * tY * tZ,), jnp.float32)
+        gt0 = jnp.zeros(((tX + 1) * (tY + 1) * (tZ + 1), 8), jnp.float32)
     else:
         gt0 = None
 
     # Each forward counter value is replayed at most twice (camera/PRE + GRAD).
     iter_cap = 2 * params.max_iters + 4
 
-    def cond(carry):
-        st, _, _, it = carry
-        return (it < iter_cap) & jnp.any(st.mode != RDONE)
+    # Staged compaction, same ladder as the forward loop: the gradient
+    # accumulators ride the carry un-compacted (they are grid-shaped); only
+    # the per-lane state narrows. No output scatter-back is needed — retired
+    # lanes contribute nothing further.
+    st, pids_t, stream_t, gL_tot_t, g_vec_t = st0, pixel_ids, stream, gL_tot_full, g_vec
+    gd, gt, it = gd0, gt0, jnp.int32(0)
+    gL_fin = jnp.zeros((N,), jnp.float32)
+    idx_map = jnp.arange(N, dtype=jnp.int32)
 
-    def body(carry):
-        st, gd, gt, it = carry
-        u = vrng.counter_uniforms(pixel_ids, stream, st.ctr, 4)
-        st2, gd2, gt2 = step(st, u, gL_tot, g_vec, gd, gt)
-        return st2, gd2, gt2, it + 1
+    for next_w in compaction_widths(N) + [None]:
+        def cond(carry, next_w=next_w):
+            st_, _, _, it_, alive_ = carry
+            go = (it_ < iter_cap) & (alive_ > 0)
+            if next_w is not None:
+                go = go & (alive_ > next_w)
+            return go
 
-    st_fin, gd, gt, _ = jax.lax.while_loop(cond, body, (st0, gd0, gt0, jnp.int32(0)))
+        def body(carry, pids_=pids_t, stream_=stream_t, gL_=gL_tot_t, g_=g_vec_t):
+            st_, gd_, gt_, it_, _ = carry
+            u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
+            st2, gd2, gt2 = step(st_, u, gL_, g_, gd_, gt_)
+            return st2, gd2, gt2, it_ + 1, jnp.sum((st2.mode != RDONE).astype(jnp.int32))
 
-    d_density = gd.reshape(X, Y, Z)
-    d_temp = gt.reshape(medium.temperature.shape) if gt is not None else None
+        alive0 = jnp.sum((st.mode != RDONE).astype(jnp.int32))
+        st, gd, gt, it, _ = jax.lax.while_loop(
+            cond, body, (st, gd, gt, it, alive0)
+        )
+        gL_fin = gL_fin.at[idx_map].set(st.gL_acc)
+        if next_w is None:
+            break
+        keep = alive_first_perm(st.mode == RDONE)[:next_w]
+        st, pids_t, stream_t, gL_tot_t, g_vec_t, idx_map = compact_lanes(
+            keep, (st, pids_t, stream_t, gL_tot_t, g_vec_t, idx_map)
+        )
+
+    d_density = fold_corner_rows(gd, (X, Y, Z))
+    d_temp = (
+        fold_corner_rows(gt, medium.temperature.shape) if gt is not None else None
+    )
     if with_check:
-        return d_density, d_temp, st_fin.gL_acc, gL_tot
+        return d_density, d_temp, gL_fin, gL_tot_full
     return d_density, d_temp
 
 
