@@ -65,6 +65,10 @@ def main(argv=None):
     )
     ap.add_argument("--preview", default=None, metavar="PNG",
                     help="write a live preview PNG at each wave boundary")
+    ap.add_argument("--live", action="store_true",
+                    help="paint a live ANSI preview of the film in the "
+                         "terminal at each wave boundary (the raylib-window "
+                         "equivalent for headless TPU hosts)")
     ap.add_argument("--checkpoint", default=None, metavar="NPZ",
                     help="wave-boundary checkpoint file (resumes if present)")
     ap.add_argument("--chunk-pixels", type=int, default=None,
@@ -136,6 +140,15 @@ def main(argv=None):
 
     import time as _time
 
+    live = None
+    if args.live:
+        from .io.term import TermPreview
+
+        live = TermPreview()
+        if not live.enabled:
+            vlog.warn("--live requires a TTY; disabled")
+            live = None
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
     npix_img = scene.width * scene.height
@@ -153,11 +166,14 @@ def main(argv=None):
             tracker.advance(1)
             # Per-wave throughput (SURVEY.md section 5 tracing bullet): one
             # wave = one camera ray per pixel.
-            print(
-                f"\r[vpt] {tracker.format()} "
-                f"({npix_img / dt_wave / 1e6:.2f} M rays/s)   ",
-                end="", flush=True,
+            status = (
+                f"[vpt] {tracker.format()} "
+                f"({npix_img / dt_wave / 1e6:.2f} M rays/s)"
             )
+            if live is not None:
+                live.draw(np.asarray(film_to_srgb_u8(film)), status)
+            else:
+                print(f"\r{status}   ", end="", flush=True)
             if args.preview:
                 write_png(args.preview, np.asarray(film_to_srgb_u8(film)), atomic=True)
             if args.checkpoint:
