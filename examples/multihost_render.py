@@ -13,6 +13,11 @@ grid-gradient all-reduce crossing hosts.
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
+
+# runnable without installation: put the repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 
