@@ -201,12 +201,19 @@ def bench_full():
 
     out = {}
 
+    from volume_path_tracer_tpu.render.megakernel import trace_rays_fused
+
     # --- big_cloud 512^3, packed vs raw gather paths ---
+    # (the fused megakernel needs the packed rows; the raw path measures the
+    # generic-gather fallback through the XLA loop)
     grid = _big_cloud_cached(512)
     cam = _camera(256, 256, (900.0, 0.0, 0.0), vfov=40.0)
     for packed in (True, False):
         med = Medium.from_grids(grid, pack=packed)
-        rays, _, _ = _render_throughput(med, cam, _wdas_params(), 256, 256, 8, reps=2)
+        rays, _, _ = _render_throughput(
+            med, cam, _wdas_params(), 256, 256, 8, reps=2,
+            tracer=trace_rays_fused if packed else None,
+        )
         out[f"big_cloud_512_{'packed' if packed else 'raw'}_rays_per_s"] = round(rays, 1)
         del med
 
@@ -216,9 +223,13 @@ def bench_full():
     bb = jnp.asarray(blackbody_xyz_table())
     cam = _camera(256, 256, (170.0, 48.0, 0.0), look=(0.0, 48.0, 0.0), vfov=37.0)
     sweep = {}
+    # Fire uses the XLA loop: at identical iteration counts (221/wave,
+    # bitwise-equal radiance) the fused path measures ~9 ms/wave slower on
+    # this emissive deep-path scene (PERF.md section 4c) - path choice is
+    # per-scene, cross-checked by --verify.
     for mi in (2048, 4096, 8192):
         rays, ncap, _ = _render_throughput(
-            med, cam, _fire_params(max_iters=mi), 256, 256, 8, bb=bb, reps=2
+            med, cam, _fire_params(max_iters=mi), 256, 256, 8, bb=bb, reps=2,
         )
         sweep[str(mi)] = {"rays_per_s": round(rays, 1), "capped_lanes": ncap}
     out["fire_max_iters_sweep"] = sweep

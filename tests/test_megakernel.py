@@ -90,3 +90,41 @@ def test_fused_emissive_matches_xla_integrator():
     assert int(nc_f) == 0
     lane_exact = np.isclose(L_ref, L_f, rtol=1e-4, atol=1e-5).all(-1).mean()
     assert lane_exact > 0.95, lane_exact
+
+
+@pytest.mark.slow
+def test_hybrid_tail_matches_xla_integrator():
+    # N > 2048 engages the hybrid plan: fused stages while wide, XLA step
+    # stages below 2048 (identical per-lane counter draws across the
+    # handoff). Means and lanes must agree with the pure XLA path.
+    med = Medium.from_grids(fog_sphere(radius=10.0, falloff=3.0))
+    params = IntegratorParams(
+        sigma_a=0.3, sigma_s=0.1, hg_g=0.2, le_scale=0.0,
+        temperature_offset=300.0, temperature_scale=40.0,
+        infinite_xyz=(4.382, 3.509, 17.603), infinite_multiplier=0.14,
+        distant_xyz=(0.95047, 1.0, 1.08883), distant_multiplier=50.0,
+        distant_inv_direction=(0.5826, 0.7660, 0.2717),
+        max_depth=50, max_iters=384,
+    )
+    N = 4096
+    rng = np.random.default_rng(2)
+    o = jnp.asarray(
+        np.stack(
+            [np.full(N, -40.0), rng.uniform(-12, 12, N), rng.uniform(-12, 12, N)],
+            -1,
+        ).astype(np.float32)
+    )
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (N, 3))
+    pids = jnp.arange(N, dtype=jnp.int32)
+    stream = vrng.mix_stream(9, 4)
+
+    L_ref, _, nc_ref = trace_rays(med, params, None, o, d, pids, stream)
+    L_f, _, nc_f = trace_rays_fused(
+        med, params, None, o, d, pids, stream, block_lanes=1024, interpret=True
+    )
+    L_ref, L_f = np.asarray(L_ref), np.asarray(L_f)
+    assert int(nc_f) == int(nc_ref)
+    lane_exact = np.isclose(L_ref, L_f, rtol=1e-4, atol=1e-5).all(-1).mean()
+    assert lane_exact > 0.95, lane_exact
+    rel = np.abs(L_f.mean(0) - L_ref.mean(0)) / (np.abs(L_ref.mean(0)) + 1e-9)
+    assert (rel < 0.05).all(), rel

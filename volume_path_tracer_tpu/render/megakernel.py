@@ -626,9 +626,19 @@ def trace_rays_fused(
     # retire within tens of iterations; once the alive tail fits a narrower
     # (statically-shaped) buffer, gather alive lanes to the front and run a
     # narrower loop. Widths stay multiples of 1024 so the kernel tiles.
+    #
+    # Hybrid tail: the kernel's (8, 128) tiling floors its width at 1024
+    # lanes, but the alive tail keeps shrinking — on deep-path scenes
+    # (fire.json: thousands of tail iterations) a 1024-wide fused tail is
+    # ~2x wasteful vs the XLA step at 512. Below 2048 lanes the stages hand
+    # off to the XLA step (identical draws: both key RNG on the per-lane
+    # counter), keeping the fused path's full-width advantage AND the XLA
+    # loop's narrow tail.
     from .integrator import compaction_widths
 
-    widths = compaction_widths(N, min_width=1024, align=1024)
+    hybrid = N > 2048
+    widths = compaction_widths(N, min_width=2048 if hybrid else 1024,
+                               align=1024)
 
     def run_stage(state_t, pids_t, stream_t, it, width, next_w):
         # 8192-lane blocks by default: a [21+3+14+1, 64, 128] block set fits
@@ -668,13 +678,16 @@ def trace_rays_fused(
         state_o.update({n: si[i].reshape(-1) for i, n in enumerate(STATE_I32)})
         return state_o, it
 
+    from .integrator import alive_first_perm, compact_lanes
+
     out = jnp.zeros((N, 3), jnp.float32)
     idx_map = jnp.arange(N, dtype=jnp.int32)
     pids_t = pixel_ids
     stream_t = stream_full
     it = jnp.int32(0)
     width = N
-    for next_w in widths + [None]:
+    fused_plan = widths + ([1024] if hybrid else [None])
+    for next_w in fused_plan:
         state, it = run_stage(state, pids_t, stream_t, it, width, next_w)
         L_stage = jnp.stack(
             [state["Lx"], state["Ly"], state["Lz"]], axis=-1
@@ -682,13 +695,58 @@ def trace_rays_fused(
         out = out.at[idx_map].set(L_stage)
         if next_w is None:
             break
-        from .integrator import alive_first_perm, compact_lanes
-
         keep = alive_first_perm(state["mode"] == DONE)[:next_w]
         state, idx_map, pids_t, stream_t = compact_lanes(
             keep, (state, idx_map, pids_t, stream_t)
         )
         width = next_w
 
-    n_capped = jnp.sum((state["mode"] != DONE).astype(jnp.int32))
+    if not hybrid:
+        n_capped = jnp.sum((state["mode"] != DONE).astype(jnp.int32))
+        return out, it, n_capped
+
+    # ---- XLA tail: 1024 -> 512 -> drain, via the integrator step ----
+    from .integrator import RayState, finalize_radiance, make_step
+
+    step = make_step(medium, params, bb_table)
+    st = RayState(
+        o=jnp.stack([state["ox"], state["oy"], state["oz"]], -1),
+        d=jnp.stack([state["dx"], state["dy"], state["dz"]], -1),
+        t=state["t"], t_exit=state["t_exit"],
+        sig_seg=state["sig_seg"], t_seg=state["t_seg"],
+        L=jnp.stack([state["Lx"], state["Ly"], state["Lz"]], -1),
+        wscore=jnp.ones_like(state["t"]),
+        depth=state["depth"], mode=state["mode"],
+        terminated=jnp.zeros_like(state["mode"], dtype=bool),
+        pend_o=jnp.stack([state["pox"], state["poy"], state["poz"]], -1),
+        pend_d=jnp.stack([state["pdx"], state["pdy"], state["pdz"]], -1),
+        T_ray=state["T_ray"], phase_val=state["phase_val"],
+        ctr=state["ctr"],
+    )
+
+    for next_w in [512, None]:
+        def cond(carry, next_w=next_w):
+            st_, it_, alive_ = carry
+            go = (it_ < params.max_iters) & (alive_ > 0)
+            if next_w is not None:
+                go = go & (alive_ > next_w)
+            return go
+
+        def body(carry, pids_=pids_t, stream_=stream_t):
+            st_, it_, _ = carry
+            u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
+            st2 = step(st_, u)
+            return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
+
+        alive0 = jnp.sum((st.mode != DONE).astype(jnp.int32))
+        st, it, _ = jax.lax.while_loop(cond, body, (st, it, alive0))
+        out = out.at[idx_map].set(finalize_radiance(st, params))
+        if next_w is None:
+            break
+        keep = alive_first_perm(st.mode == DONE)[:next_w]
+        st, idx_map, pids_t, stream_t = compact_lanes(
+            keep, (st, idx_map, pids_t, stream_t)
+        )
+
+    n_capped = jnp.sum((st.mode != DONE).astype(jnp.int32))
     return out, it, n_capped
