@@ -115,7 +115,25 @@ def render_rays_wave(
     u_jit = vrng.counter_uniforms(pixel_ids, stream, jnp.int32(2**31 - 1), 2)
     jitter = u_jit * (0.5 if use_jitter else 0.0)  # worker.cpp:121-122
     o_w, d_w = camera.generate_rays(raster_xy, jitter)
-    L, iters, n_capped = trace_rays(
+    # Production path selection (all conditions static at trace time): the
+    # Pallas megakernel wins measured head-to-heads on TPU for packed,
+    # non-emissive media at kernel-tileable batch sizes; the XLA loop wins
+    # emissive deep-path scenes and is the only path on CPU / for unpacked
+    # media (PERF.md section 4). Results are statistically identical either
+    # way (bench.py --verify cross-checks on hardware).
+    emissive = medium.has_temperature and params.le_scale != 0.0
+    N = pixel_ids.shape[0]
+    if (
+        jax.default_backend() == "tpu"
+        and medium.density_rows is not None
+        and not emissive
+        and N % 1024 == 0
+        and N > 2048
+    ):
+        from .megakernel import trace_rays_fused as _tracer
+    else:
+        _tracer = trace_rays
+    L, iters, n_capped = _tracer(
         medium, params, bb_table, o_w, d_w, pixel_ids, stream
     )
     contrib = jnp.concatenate(
