@@ -361,6 +361,22 @@ def main():
             json.dump(extra, f, indent=1)
         print(json.dumps(extra), flush=True)
 
+    # Cross-round series (the self-interpreting progress record): vs_baseline
+    # divides by the FIRST-ever run on this hardware (an early unoptimized
+    # build) and reads inflated; prev_rounds carries each round's recorded
+    # best so the current number stands against real history.
+    prev_rounds = {}
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(_REPO, "BENCH_r[0-9][0-9].json"))):
+        try:
+            rec = json.load(open(p))
+            v = rec.get("parsed", {}).get("value")
+            if v:
+                prev_rounds[f"r{int(rec['n']):02d}"] = v
+        except (ValueError, KeyError, OSError):
+            pass
+
     print(
         json.dumps(
             {
@@ -370,6 +386,7 @@ def main():
                 "vs_baseline": round(rays_per_s / base, 4),
                 "method": "best of 3 transfer-forced passes, 65536-lane waves",
                 "pass_times_s": times,
+                "prev_rounds": prev_rounds,
             }
         )
     )

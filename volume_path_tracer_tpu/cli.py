@@ -152,6 +152,28 @@ def main(argv=None):
     if args.profile:
         jax.profiler.start_trace(args.profile)
     npix_img = scene.width * scene.height
+
+    # Mid-wave feedback (the reference GUI repaints at 5 FPS *during* a wave,
+    # main.cpp:101-132): when --chunk-pixels splits a wave, repaint the live
+    # preview / progress line at chunk boundaries with the partial film.
+    chunk_cb = None
+    if args.chunk_pixels and (live is not None or args.preview):
+        _last_paint = [0.0]
+
+        def chunk_cb(done, total, film_now):
+            now = _time.monotonic()
+            if now - _last_paint[0] < 0.2:  # 5 FPS cap, like the reference
+                return
+            _last_paint[0] = now
+            img = np.asarray(film_to_srgb_u8(film_now))
+            status = f"[vpt] {tracker.format()} (wave {done * 100 // total}%)"
+            if live is not None:
+                live.draw(img, status)
+            else:
+                print(f"\r{status}   ", end="", flush=True)
+            if args.preview:
+                write_png(args.preview, img, atomic=True)
+
     with StopController() as stop:
         w = start_wave
         while w < num_waves:
@@ -160,7 +182,9 @@ def main(argv=None):
             if mesh is not None:
                 film = _render_wave_sharded(scene, mesh, w, film)
             else:
-                film = render_wave_image(scene, w, film, args.chunk_pixels)
+                film = render_wave_image(
+                    scene, w, film, args.chunk_pixels, chunk_callback=chunk_cb
+                )
             jax.block_until_ready(film)
             dt_wave = _time.perf_counter() - t_wave
             tracker.advance(1)

@@ -59,6 +59,7 @@ from ..render.integrator import (
     IntegratorParams,
     _TINY,
     clip_ray,
+    emission_enabled,
     make_traversal,
     sample_temperature_kelvin,
     trace_rays,
@@ -153,7 +154,7 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
     sigma_a, sigma_s = params.sigma_a, params.sigma_s
     sigma_t = params.sigma_t
     hg_g = params.hg_g
-    emission_on = medium.has_temperature and params.le_scale != 0.0
+    emission_on = emission_enabled(medium, params)
     nee_on = params.nee_enabled
 
     wi_np = jnp.asarray(params.distant_inv_direction, dtype=jnp.float32)
@@ -457,7 +458,7 @@ def replay_grads(
 
     X, Y, Z = medium.density.shape
     gd0 = jnp.zeros(((X + 1) * (Y + 1) * (Z + 1), 8), jnp.float32)
-    emission_on = medium.has_temperature and params.le_scale != 0.0
+    emission_on = emission_enabled(medium, params)
     if emission_on:
         tX, tY, tZ = medium.temperature.shape
         gt0 = jnp.zeros(((tX + 1) * (tY + 1) * (tZ + 1), 8), jnp.float32)

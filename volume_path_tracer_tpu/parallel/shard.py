@@ -99,19 +99,13 @@ def render_wave_sharded(
         u_jit = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
         jitter = u_jit * (0.5 if use_jitter else 0.0)
         o_w, d_w = camera_.generate_rays(raster, jitter)
-        # Same per-scene path selection as the single-chip renderer
-        # (render/renderer.py): the Pallas megakernel inside shard_map for
-        # packed non-emissive media on TPU, the XLA loop otherwise. All
-        # conditions are static; pad_ray_batch already aligns shard sizes.
-        emissive = medium_.has_temperature and params.le_scale != 0.0
-        n_shard = pids.shape[0]
-        if (
-            jax.default_backend() == "tpu"
-            and medium_.density_rows is not None
-            and not emissive
-            and n_shard % 1024 == 0
-            and n_shard > 2048
-        ):
+        # Same path selection as the single-chip renderer, single-sourced in
+        # megakernel.use_fused_path: the Pallas megakernel inside shard_map
+        # for packed media on TPU, the XLA loop otherwise. All conditions are
+        # static; pad_ray_batch already aligns shard sizes.
+        from ..render.megakernel import use_fused_path
+
+        if use_fused_path(medium_, params, pids.shape[0]):
             from ..render.megakernel import trace_rays_fused as _tracer
         else:
             _tracer = trace_rays

@@ -83,6 +83,16 @@ _LOOKAHEAD = 1e-3  # voxel units, mirrors the reference's t+1.0001 re-derive ide
 _SUPER_TAU = 4.0
 
 
+def emission_enabled(medium: Medium, params: "IntegratorParams") -> bool:
+    """True when the medium emits: temperature grid present AND le_scale != 0.
+
+    Single source of truth for the emission code-path selection (the
+    reference's runtime check, worker.cpp:95-100,152) — used by the step
+    builders, the megakernel prestep/kernel, and the renderer path choice.
+    """
+    return medium.has_temperature and params.le_scale != 0.0
+
+
 @dataclasses.dataclass(frozen=True)
 class IntegratorParams:
     """Static (compile-time) scene parameters closed over by the integrator."""
@@ -370,7 +380,7 @@ def make_step(
     sigma_t = params.sigma_t
     g = params.hg_g
 
-    emission_on = medium.has_temperature and params.le_scale != 0.0
+    emission_on = emission_enabled(medium, params)
     nee_on = params.nee_enabled
 
     wi_np = jnp.asarray(params.distant_inv_direction, dtype=jnp.float32)

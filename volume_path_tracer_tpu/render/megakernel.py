@@ -64,9 +64,38 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grids.majorant import BRICK, SUPER
 from ..models.medium import Medium
 from ..utils import rng as vrng
-from .integrator import IntegratorParams, _LOOKAHEAD, _SUPER_TAU, _TINY
+from .integrator import (
+    IntegratorParams,
+    _LOOKAHEAD,
+    _SUPER_TAU,
+    _TINY,
+    emission_enabled,
+)
 
 LANE = 128  # TPU lane width; all per-lane arrays are [rows, LANE]
+
+# Below this many lanes the fused path's (8, 128)-tiled stages waste width on
+# the shrinking alive tail; trace_rays_fused hands off to the XLA step there
+# (hybrid tail), and the path selection won't pick the fused path at all.
+HYBRID_MIN_LANES = 2048
+
+
+def use_fused_path(medium: Medium, params: IntegratorParams, n_lanes: int) -> bool:
+    """Single source of truth for the megakernel-vs-XLA-loop path choice.
+
+    The Pallas megakernel wins measured head-to-heads on TPU for packed media
+    at kernel-tileable batch sizes; the XLA loop is the only path on CPU/GPU
+    and for unpacked media (PERF.md section 4). All conditions are static at
+    trace time; callers (render/renderer.py, parallel/shard.py,
+    __graft_entry__) share this predicate so it cannot drift.
+    """
+    return (
+        jax.default_backend() == "tpu"
+        and medium.density_rows is not None
+        and not emission_enabled(medium, params)
+        and n_lanes % 1024 == 0
+        and n_lanes > HYBRID_MIN_LANES
+    )
 
 CAM = 0
 SHADOW = 1
@@ -397,13 +426,16 @@ def _as2d(x):
 
 
 def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
-               lpx, lpy, lpz, collide):
+               lpx, lpy, lpz, collide, emission_on: bool):
     """The gather core of prestep: one fused-row gather + trilinear dots.
 
     Computes (rho, bmaj, smaj[, bb_xyz]) at the requested point. All math
     here fuses into the gather's consumer fusion. Mirrors the packed path of
-    integrator.make_traversal exactly.
+    integrator.make_traversal exactly. `emission_on` must equal
+    emission_enabled(medium, params) (asserted) — it selects the bb channels
+    consistently with the kernel built for the same configuration.
     """
+    assert emission_on == emission_enabled(medium, params)
     dgrid = medium.density
     X, Y, Z = dgrid.shape
     BX, BY, BZ = medium.majorants.brick_maj.shape
@@ -453,7 +485,6 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
     smaj = jnp.where(b_valid, row[..., 1], 0.0)
 
     out = [rho, bmaj, smaj]
-    emission_on = medium.has_temperature and params.le_scale != 0.0
     if emission_on:
         # Temperature trilinear sample at the same (collision) point, via the
         # temperature grid's own transform (worker.cpp:153-155), then the
@@ -531,7 +562,9 @@ def make_prestep(medium: Medium, params: IntegratorParams, bb_table,
         lpz = sf[i_oz] + sf[i_dz] * t_gather - O[2]
         collide_i = collide.astype(jnp.int32)
 
-        fetched = fetch_rows(medium, params, bb_table, lpx, lpy, lpz, collide_i)
+        fetched = fetch_rows(
+            medium, params, bb_table, lpx, lpy, lpz, collide_i, emission_on
+        )
         ff = jnp.stack(
             list(fetched[:3]) + [lpx, lpy, lpz, t_cand, t_next, u1, u2, u3]
             + list(fetched[3:])
@@ -590,14 +623,25 @@ def trace_rays_fused(
     medium's packed fused rows. Consumes the identical PCG4D draw sequence as
     trace_rays (statistically identical renders; individual lanes can differ
     where transcendental rounding flips a knife-edge event).
+
+    Off-TPU (CPU/GPU) callers without interpret=True fall back to the XLA
+    wavefront loop automatically — Mosaic kernels only compile for TPU, and
+    the two paths are draw-compatible, so the fallback renders the same image.
     """
     from .integrator import init_state
+
+    if jax.default_backend() != "tpu" and not interpret:
+        from .integrator import trace_rays
+
+        return trace_rays(
+            medium, params, bb_table, o_world, d_world, pixel_ids, stream
+        )
 
     N = o_world.shape[0]
     assert N % 1024 == 0, "lane count must be a multiple of 1024 (pad rays)"
     block_lanes = min(block_lanes, N)
 
-    emission_on = medium.has_temperature and params.le_scale != 0.0
+    emission_on = emission_enabled(medium, params)
 
     st0 = init_state(medium, o_world, d_world, params)
 
@@ -636,9 +680,10 @@ def trace_rays_fused(
     # loop's narrow tail.
     from .integrator import compaction_widths
 
-    hybrid = N > 2048
-    widths = compaction_widths(N, min_width=2048 if hybrid else 1024,
-                               align=1024)
+    hybrid = N > HYBRID_MIN_LANES
+    widths = compaction_widths(
+        N, min_width=HYBRID_MIN_LANES if hybrid else 1024, align=1024
+    )
 
     def run_stage(state_t, pids_t, stream_t, it, width, next_w):
         # 8192-lane blocks by default: a [21+3+14+1, 64, 128] block set fits

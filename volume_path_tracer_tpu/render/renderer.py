@@ -73,7 +73,9 @@ def pixel_coords(width: int, height: int) -> np.ndarray:
 
 
 def _bb_table_for(medium: Medium, params: IntegratorParams):
-    if medium.has_temperature and params.le_scale != 0.0:
+    from .integrator import emission_enabled
+
+    if emission_enabled(medium, params):
         # Size the LUT to cover the scene's hottest reachable temperature
         # (trilinear interpolation never exceeds the max corner value), so
         # the reference's T >= 49,900 K exact-integration fallback
@@ -115,21 +117,14 @@ def render_rays_wave(
     u_jit = vrng.counter_uniforms(pixel_ids, stream, jnp.int32(2**31 - 1), 2)
     jitter = u_jit * (0.5 if use_jitter else 0.0)  # worker.cpp:121-122
     o_w, d_w = camera.generate_rays(raster_xy, jitter)
-    # Production path selection (all conditions static at trace time): the
-    # Pallas megakernel wins measured head-to-heads on TPU for packed,
-    # non-emissive media at kernel-tileable batch sizes; the XLA loop wins
-    # emissive deep-path scenes and is the only path on CPU / for unpacked
-    # media (PERF.md section 4). Results are statistically identical either
-    # way (bench.py --verify cross-checks on hardware).
-    emissive = medium.has_temperature and params.le_scale != 0.0
-    N = pixel_ids.shape[0]
-    if (
-        jax.default_backend() == "tpu"
-        and medium.density_rows is not None
-        and not emissive
-        and N % 1024 == 0
-        and N > 2048
-    ):
+    # Production path selection (static at trace time, single-sourced in
+    # megakernel.use_fused_path): the Pallas megakernel on TPU for packed
+    # media at kernel-tileable batch sizes, the XLA loop otherwise. Results
+    # are statistically identical either way (bench.py --verify cross-checks
+    # on hardware).
+    from .megakernel import use_fused_path
+
+    if use_fused_path(medium, params, pixel_ids.shape[0]):
         from .megakernel import trace_rays_fused as _tracer
     else:
         _tracer = trace_rays
@@ -147,8 +142,17 @@ def render_wave_image(
     wave: int,
     film: Optional[jnp.ndarray] = None,
     chunk_pixels: Optional[int] = None,
+    chunk_callback=None,
 ) -> jnp.ndarray:
-    """Accumulate one full wave into the film [H, W, 4]; returns the new film."""
+    """Accumulate one full wave into the film [H, W, 4]; returns the new film.
+
+    chunk_callback(pixels_done, pixels_total, film [H, W, 4]) is invoked after
+    each pixel chunk when the wave is chunked — the mid-wave feedback hook
+    (the reference GUI repaints at 5 FPS *during* a wave, main.cpp:101-132;
+    the partial film is a valid estimate because un-rendered pixels still
+    carry their previous waves' weight). Reading the film in the callback
+    forces a device sync per chunk, so the default (None) stays sync-free.
+    """
     H, W = scene.height, scene.width
     if film is None:
         film = jnp.zeros((H, W, 4), jnp.float32)
@@ -169,6 +173,10 @@ def render_wave_image(
     n = coords.shape[0]
     chunk = chunk_pixels or n
     out = film.reshape(-1, 4)
+    # Capped-lane counts accumulate ON DEVICE across chunks and are read once
+    # per wave: a host int() inside the loop would serialize chunk dispatch at
+    # one tunnel round-trip each (the pitfall bench.py's methodology notes).
+    ncap_dev = None
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
         raster = jnp.asarray(coords[start:end])
@@ -178,15 +186,18 @@ def render_wave_image(
             scene.seed, wave, scene.use_jitter, scene.camera.imaging_ratio,
         )
         out = out.at[start:end].add(contrib)
-        ncap = int(n_capped)
-        if ncap:
-            from ..utils import logging as vlog
+        ncap_dev = n_capped if ncap_dev is None else ncap_dev + n_capped
+        if chunk_callback is not None and end < n:
+            chunk_callback(end, n, out.reshape(H, W, 4))
+    ncap = int(ncap_dev)
+    if ncap:
+        from ..utils import logging as vlog
 
-            vlog.warn(
-                f"wave {wave}: {ncap} rays truncated at the "
-                f"iteration cap (max_iters={scene.params.max_iters}) - "
-                f"raise --max-iters to eliminate the bias"
-            )
+        vlog.warn(
+            f"wave {wave}: {ncap} rays truncated at the "
+            f"iteration cap (max_iters={scene.params.max_iters}) - "
+            f"raise --max-iters to eliminate the bias"
+        )
     return out.reshape(H, W, 4)
 
 

@@ -23,7 +23,10 @@ n_breakpoints = breakpoints_for_max_temp(scene max temperature) (the
 renderer derives it from the loaded temperature grid), so no reachable
 temperature ever exceeds the table and every lookup is a 100 K lerp of
 exactly-integrated breakpoints. Temperatures beyond even that (unbounded
-user input) clamp to the last breakpoint.
+user input) continue the last LUT segment's slope linearly — the input is
+clamped to the table range, but the final segment's fractional index is not,
+so out-of-range lookups are a linear extrapolation of the last segment (the
+value-grad helper treats them as out-of-range: zero temperature gradient).
 """
 from __future__ import annotations
 
@@ -111,7 +114,10 @@ def blackbody_radiation_xyz(table: jnp.ndarray, temperature_k: jnp.ndarray) -> j
     interpolation between the two straddling breakpoints of the shifted
     table. Differentiable w.r.t. temperature_k. The covered range derives
     from the table's length (see breakpoints_for_max_temp); temperatures
-    beyond it clamp to the last breakpoint.
+    beyond it linearly extrapolate the final LUT segment (the index clips to
+    the last segment while the fraction keeps growing) — unreachable in
+    production because the renderer sizes the table to the scene's maximum
+    temperature. megakernel.fetch_rows implements the identical math.
     """
     t = jnp.asarray(temperature_k)
     n = table.shape[0]
