@@ -25,12 +25,20 @@ wavefront loop:
         d p_e / p_e times the suffix radiance collected at or after the event
         (matching AD of the attached/detached ratio p_e / stop_grad(p_e)).
       * NEE ratio tracking (worker.cpp:68-71): each shadow collision's factor
-        sigma_n / sigma_maj. The shadow contribution (phase * T_final * Li)
-        is only known when the walk completes, so shadow rays are walked
-        TWICE in the replay: a PRE walk (identical to the forward shadow
-        walk) establishes T_final, then the lane's draw counter is reset to
-        the shadow start and a GRAD walk revisits the same collisions
-        scattering -phase * <g,Li> * sigma_t * T_final / sigma_n per corner.
+        sigma_n / sigma_maj. The per-collision gradient is
+        -phase * <g,Li> * sigma_t * T_final / sigma_n per corner, where
+        T_final is the walk's COMPLETED transmittance — unknown until the
+        walk ends. Round 3 solved this by walking every shadow ray TWICE in
+        the replay (a PRE walk reproducing the forward to establish T_final,
+        then a counter-reset GRAD walk scattering the gradients); that PRE
+        walk was measured at 35% of all replay lane-iterations. Round 4
+        instead has the FORWARD pass record T_final per shadow walk
+        (_trace_rays_record: one [N, K] residual, a float per walk encoding
+        T_final > 0 / killed-at-counter < 0 / truncated == 0), so the replay
+        jumps straight to the GRAD walk at scatter time — same collisions,
+        naturally aligned draw counters, no reset. Lanes whose walk count
+        overflows K fall back to the PRE+GRAD path, which remains intact
+        (and is what replay_grads uses when no residuals are supplied).
 
     Majorants and event *selections* stay detached (detached-majorant
     differentiable delta tracking), exactly like the AD estimator, so PRB
@@ -84,7 +92,7 @@ _CORNER_OFFSETS = np.array(
 
 
 class ReplayState(NamedTuple):
-    """SoA replay wavefront state; [N] or [N, 3] per field."""
+    """SoA replay wavefront state; [N], [N, 3] or [N, K] per field."""
 
     o: jnp.ndarray
     d: jnp.ndarray
@@ -98,12 +106,14 @@ class ReplayState(NamedTuple):
     pend_o: jnp.ndarray
     pend_d: jnp.ndarray
     T_ray: jnp.ndarray  # transmittance of the current shadow walk
-    T_fin: jnp.ndarray  # PRE walk's final transmittance (for the GRAD walk)
+    T_fin: jnp.ndarray  # the walk's final transmittance (for the GRAD walk)
     phase_val: jnp.ndarray
-    sh_ctr0: jnp.ndarray  # draw counter at shadow start (GRAD walk reset)
+    sh_ctr0: jnp.ndarray  # draw counter at shadow start (PRE->GRAD reset)
     sh_t0: jnp.ndarray  # shadow ray clip entry
     sh_t1: jnp.ndarray  # shadow ray clip exit
     ctr: jnp.ndarray  # per-lane draw counter (replays forward counters)
+    tf_row: jnp.ndarray  # [N, K] forward-saved walk residuals ([N, 0] unused)
+    wc: jnp.ndarray  # int32 count of shadow walks started (residual slot)
 
 
 def _corner_scatter_indices(shape, i0):
@@ -143,9 +153,22 @@ def fold_corner_rows(rows: jnp.ndarray, shape) -> jnp.ndarray:
     return out
 
 
-def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
+def _make_replay_step(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table,
+    k_walks: int = 0,
+    scatter: bool = True,
+):
     """One backward-replay iteration: returns step(st, u, gL_tot, g_vec,
-    gd_rows, gt_rows) with gradients accumulated in corner-row layout."""
+    gd_rows, gt_rows) with gradients accumulated in corner-row layout.
+
+    k_walks > 0 enables the saved-residual fast path: st.tf_row[:, :k_walks]
+    carries _trace_rays_record's per-walk residuals and scatter events go
+    straight to the GRAD walk (or skip a zero-contribution walk by jumping
+    the draw counter); walks beyond slot k_walks use the PRE+GRAD fallback.
+    """
+    use_saved = k_walks > 0
     dgrid = medium.density
     O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
     shape_f = jnp.asarray(dgrid.shape, dtype=jnp.float32)
@@ -294,16 +317,53 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
         miss_resume_ok = shadow_miss & hitp & depth_ok
         miss_resume_escape = shadow_miss & ((~hitp) | (~depth_ok))
 
+        # ---- saved-residual walks (use_saved): consume the forward-recorded
+        # slot instead of running a PRE walk. Residual encoding per slot:
+        #   > 0 : T_final — walk exited; GRAD-walk it now (counters align
+        #         naturally: the walk's draws start at the next counter).
+        #   < 0 : -(ctr after completion) — walk died (RR kill / sigma_n=0):
+        #         zero gradient AND zero contribution; jump the counter past
+        #         the walk's consumed draws and resume the camera path.
+        #   == 0: the forward truncated mid-walk at max_iters — the lane
+        #         contributed nothing further; retire it (truncation parity).
+        false_ = jnp.zeros_like(cam_scat)
+        sv_live = sv_unfinished = sv_skip_ok = sv_skip_escape = false_
+        sv_killed = false_
+        start_pre_ok = start_shadow_ok
+        ce_val = st.ctr  # placeholder (only read under sv_killed)
+        if use_saved:
+            slot = st.wc
+            slot_ok = slot < k_walks
+            onehot = (
+                jnp.arange(k_walks, dtype=jnp.int32)[None, :] == slot[:, None]
+            )
+            tf_val = jnp.sum(jnp.where(onehot, st.tf_row, 0.0), axis=1)
+            saved_lane = start_shadow_ok & slot_ok
+            sv_unfinished = saved_lane & (tf_val == 0.0)
+            sv_live = saved_lane & (tf_val > 0.0)
+            sv_killed = saved_lane & (tf_val < 0.0)
+            ce_val = (-tf_val).astype(jnp.int32)  # exact: ctr <= max_iters < 2^24
+            # The forward added the walk's contribution at completion; no
+            # camera event can occur before the GRAD walk ends, so adding it
+            # here keeps every later gsuffix correct.
+            gL_acc = gL_acc + jnp.where(sv_live, phase_val_new * tf_val * gLi, 0.0)
+            start_pre_ok = start_shadow_ok & (~slot_ok)
+            sv_skip_ok = sv_killed & hitp & depth_ok
+            sv_skip_escape = sv_killed & ((~hitp) | (~depth_ok))
+        wc_new = st.wc + start_shadow_ok.astype(jnp.int32)
+
         cam_exit = in_cam & tr.exited
-        becomes_done_inf = cam_exit | resume_escape | miss_resume_escape
+        becomes_done_inf = (
+            cam_exit | resume_escape | miss_resume_escape | sv_skip_escape
+        )
         gL_acc = gL_acc + jnp.where(becomes_done_inf, gLinf, 0.0)
-        becomes_done_term = cam_abs
+        becomes_done_term = cam_abs | sv_unfinished
 
         mode_new = mode0
         mode_new = jnp.where(becomes_done_inf | becomes_done_term, RDONE, mode_new)
-        mode_new = jnp.where(start_shadow_ok, RPRE, mode_new)
-        mode_new = jnp.where(resume_ok | miss_resume_ok, RCAM, mode_new)
-        mode_new = jnp.where(go_grad, RGRAD, mode_new)
+        mode_new = jnp.where(start_pre_ok, RPRE, mode_new)
+        mode_new = jnp.where(resume_ok | miss_resume_ok | sv_skip_ok, RCAM, mode_new)
+        mode_new = jnp.where(go_grad | sv_live, RGRAD, mode_new)
 
         # ---- next-walk ray state ----
         o_new = jnp.where(start_shadow_ok[:, None], new_o, st.o)
@@ -322,7 +382,14 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
         t_new = jnp.where(miss_resume_ok, t0p, t_new)
         t_exit_new = jnp.where(miss_resume_ok, t1p, t_exit_new)
 
-        # GRAD walk restarts the saved shadow ray with replayed counters.
+        # A skipped (zero-contribution) saved walk resumes the camera path.
+        if use_saved:
+            o_new = jnp.where(sv_skip_ok[:, None], pend_o_new, o_new)
+            d_new = jnp.where(sv_skip_ok[:, None], pend_d_new, d_new)
+            t_new = jnp.where(sv_skip_ok, t0p, t_new)
+            t_exit_new = jnp.where(sv_skip_ok, t1p, t_exit_new)
+
+        # (PRE->)GRAD walk restarts the saved shadow ray with reset counters.
         o_new = jnp.where(go_grad[:, None], pend_o_new, o_new)
         d_new = jnp.where(go_grad[:, None], wi[None, :], d_new)
         t_new = jnp.where(go_grad, st.sh_t0, t_new)
@@ -332,18 +399,25 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
         t_new = jnp.where(plain_adv, tr.t_cand, t_new)
         t_new = jnp.where(tr.fetch, tr.t_next, t_new)
 
-        new_ray = start_shadow_ok | resume_ok | miss_resume_ok | go_grad
+        new_ray = (
+            start_shadow_ok | resume_ok | miss_resume_ok | go_grad | sv_skip_ok
+        )
         sig_seg_new = jnp.where(tr.fetch, tr.sig_seg_f, st.sig_seg)
         sig_seg_new = jnp.where(new_ray, 0.0, sig_seg_new)
         t_seg_new = jnp.where(tr.fetch, tr.t_seg_f, st.t_seg)
         t_seg_new = jnp.where(new_ray, t_new, t_seg_new)
 
         T_ray_out = jnp.where(start_shadow_ok | go_grad, 1.0, T_ray_new)
+        if use_saved:
+            T_fin_new = jnp.where(sv_live, tf_val, T_fin_new)
 
         sh_ctr0_new = jnp.where(start_shadow_ok, st.ctr, st.sh_ctr0)
         sh_t0_new = jnp.where(start_shadow_ok, t0n, st.sh_t0)
         sh_t1_new = jnp.where(start_shadow_ok, t1n, st.sh_t1)
         ctr_new = jnp.where(go_grad, st.sh_ctr0, st.ctr) + 1
+        if use_saved:
+            # Skipped walks jump past the forward walk's consumed draws.
+            ctr_new = jnp.where(sv_killed, ce_val, ctr_new)
 
         # =========== gradient scatter-adds ===========
         # Row scatter into the CORNER-ROW layout: one [8]-row add per lane
@@ -360,10 +434,15 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
         w8 = trilinear_weights(f)
         row8, rvalid = corner_row_index((X, Y, Z), i0)
         dweight = demis + score_w + shadow_w  # disjoint lane sets
-        gd_rows = gd_rows.at[row8].add(
-            jnp.where(rvalid[:, None], w8 * dweight[:, None], 0.0)
-        )
-        if emission_on and gt_rows is not None:
+        if scatter == "small":  # timing diagnostic: tiny aliased target
+            gd_rows = gd_rows.at[row8 % 1024].add(
+                jnp.where(rvalid[:, None], w8 * dweight[:, None], 0.0)
+            )
+        elif scatter:  # scatter=False: timing-diagnostic builds only
+            gd_rows = gd_rows.at[row8].add(
+                jnp.where(rvalid[:, None], w8 * dweight[:, None], 0.0)
+            )
+        if scatter and emission_on and gt_rows is not None:
             tgrid = medium.temperature
             i0t = jnp.floor(tp_local).astype(jnp.int32)
             ft = tp_local - i0t.astype(tp_local.dtype)
@@ -380,15 +459,21 @@ def _make_replay_step(medium: Medium, params: IntegratorParams, bb_table):
             pend_o=pend_o_new, pend_d=pend_d_new,
             T_ray=T_ray_out, T_fin=T_fin_new, phase_val=phase_val_new,
             sh_ctr0=sh_ctr0_new, sh_t0=sh_t0_new, sh_t1=sh_t1_new,
-            ctr=ctr_new,
+            ctr=ctr_new, tf_row=st.tf_row, wc=wc_new,
         )
         return st_new, gd_rows, gt_rows
 
     return step
 
 
-def _replay_init(medium: Medium, params: IntegratorParams, o_world, d_world, g_vec):
-    """Initial replay state: mirrors integrator.init_state."""
+def _replay_init(
+    medium: Medium, params: IntegratorParams, o_world, d_world, g_vec, tf=None
+):
+    """Initial replay state: mirrors integrator.init_state.
+
+    tf: [N, K] forward-saved walk residuals (_trace_rays_record) or None for
+    the pure PRE+GRAD replay (tf_row rides along with zero width).
+    """
     dgrid = medium.density
     N = o_world.shape[0]
     O = jnp.asarray(dgrid.origin_ijk, dtype=jnp.float32)
@@ -422,6 +507,8 @@ def _replay_init(medium: Medium, params: IntegratorParams, o_world, d_world, g_v
         sh_t0=zeros,
         sh_t1=zeros,
         ctr=jnp.zeros((N,), jnp.int32),
+        tf_row=tf if tf is not None else jnp.zeros((N, 0), jnp.float32),
+        wc=jnp.zeros((N,), jnp.int32),
     )
 
 
@@ -436,11 +523,15 @@ def replay_grads(
     L_fwd,
     g_vec,
     with_check: bool = False,
+    tf=None,
 ):
     """Run the backward replay; returns (d_density [X,Y,Z], d_temp or None).
 
-    L_fwd: forward per-lane radiance [N,3] (the only saved residual).
+    L_fwd: forward per-lane radiance [N,3].
     g_vec: per-lane output cotangent [N,3].
+    tf: optional [N, K] per-walk residuals from _trace_rays_record — enables
+    the single-walk shadow replay (PRE walks only for slot-overflow lanes).
+    None replays every shadow walk twice (PRE+GRAD), needing no residuals.
     with_check=True additionally returns (gL_acc, gL_tot) so tests can assert
     the replayed accumulation reproduces <g, L_fwd> lane-for-lane.
     """
@@ -450,8 +541,9 @@ def replay_grads(
         compaction_widths,
     )
 
-    step = _make_replay_step(medium, params, bb_table)
-    st0 = _replay_init(medium, params, o_world, d_world, g_vec)
+    k_walks = 0 if tf is None else tf.shape[1]
+    step = _make_replay_step(medium, params, bb_table, k_walks=k_walks)
+    st0 = _replay_init(medium, params, o_world, d_world, g_vec, tf=tf)
     gL_tot_full = jnp.sum(g_vec * L_fwd, axis=-1)
     N = st0.t.shape[0]
     stream = jnp.broadcast_to(jnp.asarray(stream, jnp.uint32), (N,))
@@ -471,7 +563,10 @@ def replay_grads(
     # Staged compaction, same ladder as the forward loop: the gradient
     # accumulators ride the carry un-compacted (they are grid-shaped); only
     # the per-lane state narrows. No output scatter-back is needed — retired
-    # lanes contribute nothing further.
+    # lanes contribute nothing further. (Measured dead ends on the v5e:
+    # presorting lanes by forward-recorded lifetime costs more than the
+    # width it saves — argsort + the full-width permute gather — and a finer
+    # 3/4 ladder is neutral; see PERF.md section 4b.)
     st, pids_t, stream_t, gL_tot_t, g_vec_t = st0, pixel_ids, stream, gL_tot_full, g_vec
     gd, gt, it = gd0, gt0, jnp.int32(0)
     gL_fin = jnp.zeros((N,), jnp.float32)
@@ -512,6 +607,108 @@ def replay_grads(
     return d_density, d_temp
 
 
+# Saved-walk residual slots per lane: covers the observed scatter-event
+# distribution on the bench scenes; slot-overflow walks replay through the
+# intact PRE+GRAD fallback, so K only trades residual memory vs PRE work.
+DEFAULT_K_WALKS = 16
+
+
+def _trace_rays_record(
+    medium: Medium,
+    params: IntegratorParams,
+    bb_table,
+    o_world,
+    d_world,
+    pixel_ids,
+    stream,
+    k_walks: int,
+):
+    """Forward render recording per-walk NEE residuals: (L [N,3], tf [N,K]).
+
+    Runs the SAME integrator step as trace_rays on the same draws (bitwise-
+    equal radiance); the recording observes mode transitions from outside the
+    step. Residual slot w of lane i describes the lane's w-th *started*
+    shadow walk (slots count start_shadow events that hit the bbox — the
+    replay counts the same deterministic events):
+
+      tf[i, w] > 0  : the walk exited the volume with transmittance tf[i, w]
+      tf[i, w] < 0  : the walk died (roulette kill / sigma_n = 0); the value
+                      is -(draw counter after the finishing iteration), used
+                      by the replay to jump past the walk's consumed draws
+                      (exact in f32: counters are capped at max_iters < 2^24)
+      tf[i, w] == 0 : the walk never completed (forward truncation at
+                      max_iters mid-walk)
+    """
+    from ..render.integrator import (
+        CAM,
+        DONE,
+        SHADOW,
+        alive_first_perm,
+        compact_lanes,
+        compaction_widths,
+        finalize_radiance,
+        init_state,
+        make_step,
+    )
+
+    step = make_step(medium, params, bb_table)
+    st0 = init_state(medium, o_world, d_world, params)
+    N = pixel_ids.shape[0]
+    stream = jnp.broadcast_to(jnp.asarray(stream, jnp.uint32), (N,))
+    slots = jnp.arange(k_walks, dtype=jnp.int32)
+
+    out = jnp.zeros((N, 3), jnp.float32)
+    tf_out = jnp.zeros((N, k_walks), jnp.float32)
+    idx_map = jnp.arange(N, dtype=jnp.int32)
+    st, pids = st0, pixel_ids
+    tf = jnp.zeros((N, k_walks), jnp.float32)
+    wc = jnp.zeros((N,), jnp.int32)
+    it = jnp.int32(0)
+
+    for next_w in compaction_widths(N) + [None]:
+        def cond(carry, next_w=next_w):
+            *_, it_, alive_ = carry
+            go = (it_ < params.max_iters) & (alive_ > 0)
+            if next_w is not None:
+                go = go & (alive_ > next_w)
+            return go
+
+        def body(carry, pids_=pids, stream_=stream):
+            st_, tf_, wc_, it_, _ = carry
+            u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
+            st2 = step(st_, u)
+            started = (st_.mode == CAM) & (st2.mode == SHADOW)
+            fin = (st_.mode == SHADOW) & (st2.mode != SHADOW)
+            # The in-flight walk's slot; at finish, st2.T_ray is T_final and
+            # st2.ctr the counter the resumed camera path draws next.
+            slot = wc_ - 1
+            val = jnp.where(st2.T_ray > 0.0, st2.T_ray, -st2.ctr.astype(jnp.float32))
+            hot = (
+                (slots[None, :] == slot[:, None])
+                & fin[:, None]
+                & (slot < k_walks)[:, None]
+            )
+            tf_ = jnp.where(hot, val[:, None], tf_)
+            wc_ = wc_ + started.astype(jnp.int32)
+            alive = jnp.sum((st2.mode != DONE).astype(jnp.int32))
+            return st2, tf_, wc_, it_ + 1, alive
+
+        alive0 = jnp.sum((st.mode != DONE).astype(jnp.int32))
+        st, tf, wc, it, _ = jax.lax.while_loop(
+            cond, body, (st, tf, wc, it, alive0)
+        )
+        out = out.at[idx_map].set(finalize_radiance(st, params))
+        tf_out = tf_out.at[idx_map].set(tf)
+        if next_w is None:
+            break
+        keep = alive_first_perm(st.mode == DONE)[:next_w]
+        st, tf, wc, idx_map, pids, stream = compact_lanes(
+            keep, (st, tf, wc, idx_map, pids, stream)
+        )
+
+    return out, tf_out
+
+
 def trace_rays_prb(
     medium: Medium,
     params: IntegratorParams,
@@ -520,18 +717,23 @@ def trace_rays_prb(
     d_world,
     pixel_ids,
     stream,
+    k_walks: int = DEFAULT_K_WALKS,
 ):
     """Differentiable forward render with an O(1)-memory replay VJP.
 
     Returns radiance [N, 3]. Differentiable w.r.t. medium.density.data and
     medium.temperature.data (all other inputs get zero cotangents). The
-    forward pass is the full-speed production while_loop (packed gathers
-    allowed); the backward pass replays paths from the RNG counters.
+    forward pass is the production while_loop, recording one float per NEE
+    shadow walk (k_walks slots/lane); the backward pass replays paths from
+    the RNG counters, walking each recorded shadow ray ONCE (the GRAD walk —
+    see the module docstring). k_walks=0 disables recording (PRE+GRAD
+    replay for every walk, the round-3 behavior).
     """
     sg = jax.lax.stop_gradient
     med_det = jax.tree.map(sg, medium)
     bb_det = sg(bb_table) if bb_table is not None else None
     o_det, d_det = sg(o_world), sg(d_world)
+    record = params.nee_enabled and k_walks > 0
 
     @jax.custom_vjp
     def core(density_data, temp_data):
@@ -542,12 +744,24 @@ def trace_rays_prb(
         return L
 
     def core_fwd(density_data, temp_data):
-        L = core(density_data, temp_data)
-        return L, L
+        del density_data, temp_data
+        if record:
+            L, tf = _trace_rays_record(
+                med_det, params, bb_det, o_det, d_det, pixel_ids, stream,
+                k_walks,
+            )
+        else:
+            L, _, _ = trace_rays(
+                med_det, params, bb_det, o_det, d_det, pixel_ids, stream
+            )
+            tf = None
+        return L, (L, tf)
 
-    def core_bwd(L, g_vec):
+    def core_bwd(res, g_vec):
+        L, tf = res
         d_density, d_temp = replay_grads(
-            med_det, params, bb_det, o_det, d_det, pixel_ids, stream, L, g_vec
+            med_det, params, bb_det, o_det, d_det, pixel_ids, stream, L,
+            g_vec, tf=tf,
         )
         if med_det.temperature is None:
             d_temp = None

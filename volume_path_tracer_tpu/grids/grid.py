@@ -152,13 +152,30 @@ def pack_corner_rows(data: jnp.ndarray) -> jnp.ndarray:
     """
     X, Y, Z = data.shape
     p = jnp.pad(data, ((1, 1), (1, 1), (1, 1)))
-    # Built one X-slab at a time under a scan: the all-at-once stack+reshape
-    # materializes several full-table temporaries, which OOMs HBM for
-    # production-scale grids (512^3 -> 4.3 GB table; peak was ~3x that).
+    R = (Y + 1) * (Z + 1)
+    table_bytes = (X + 1) * R * 8 * 4
+
+    # Small grids (inverse-rendering training rebuilds the table EVERY step):
+    # one all-at-once stack of the 8 shifted slices — a single fused XLA op,
+    # ~5x faster than the scan below, at a ~3x-table peak-memory cost that
+    # only matters at production scale.
+    if table_bytes <= 128 * 2 ** 20:
+        corners = jnp.stack(
+            [
+                p[dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1]
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=-1,
+        )
+        return corners.reshape(-1, 8)
+
+    # Large grids: built one X-slab at a time under a scan — the all-at-once
+    # stack+reshape materializes several full-table temporaries, which OOMs
+    # HBM at production scale (512^3 -> 4.3 GB table; peak was ~3x that).
     # The scan allocates the output once and stays reverse-differentiable
     # (the corner table is the differentiable path for packed training).
-    R = (Y + 1) * (Z + 1)
-
     def slab(_, i):
         corners = jnp.stack(
             [

@@ -82,17 +82,23 @@ def build_majorants(grid: DenseGrid, order: int = 1, bloat: float = 0.0) -> Majo
     # window b covers voxels [BRICK*b - order, BRICK*(b+1) - 1 + order].
     # Out-of-array voxels are background 0 (identity for max of nonneg fields;
     # we still use -inf init and clamp below to support general data).
+    #
+    # Computed SEPARABLY — one 1-D reduce_window per axis — because max over
+    # a rectangular window factors exactly across axes: the fused 3-D window
+    # costs win^3 compares per output where the separable form costs 3*win
+    # (and inverse-rendering training rebuilds majorants EVERY step; the 3-D
+    # reduce_window was ~40% of the per-step medium rebuild).
     win = BRICK + 2 * order
     pad_lo = order
     pad_hi = [bx * BRICK - X + order, by * BRICK - Y + order, bz * BRICK - Z + order]
-    brick = jax.lax.reduce_window(
-        data,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(win, win, win),
-        window_strides=(BRICK, BRICK, BRICK),
-        padding=[(pad_lo, pad_hi[0]), (pad_lo, pad_hi[1]), (pad_lo, pad_hi[2])],
-    )
+    brick = data
+    for axis, ph in enumerate(pad_hi):
+        wd, ws, pd = [1, 1, 1], [1, 1, 1], [(0, 0)] * 3
+        wd[axis], ws[axis], pd[axis] = win, BRICK, (pad_lo, ph)
+        brick = jax.lax.reduce_window(
+            brick, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(wd), window_strides=tuple(ws), padding=pd,
+        )
     # Padding lanes contribute -inf; background outside the bbox is 0, and the
     # density field itself is non-negative, so clamp at 0.
     brick = jnp.maximum(brick, 0.0)

@@ -26,8 +26,58 @@ from ..grids.majorant import MajorantPyramid, build_majorants
 from ..utils.config import VolumeParameters
 
 
-def pack_fused_rows(data: jnp.ndarray, pyr: MajorantPyramid) -> jnp.ndarray:
-    """The integrator's hot-path table: [(X+1)(Y+1)(Z+1) + NB, 8].
+def temperature_on_density_grid(
+    density: DenseGrid, temperature: Optional[DenseGrid]
+):
+    """Temperature resampled onto the density grid's frame, or None.
+
+    Returns [X, Y, Z] T with T[q] = the temperature grid's value at density
+    voxel q's position — an EXACT integer shift when the grids are
+    alignment-compatible (same voxel size, integer index offset between
+    frames; true for co-simulated volumes exported with one transform).
+    Alignment makes every density cell's image in temperature index space
+    exactly one temperature cell, so trilinear interpolation of these corner
+    values equals the reference's own-transform temperature sample
+    (worker.cpp:153-155) — it is what lets the emissive fused table carry
+    temperature corners (pack_fused_rows) and the hot loop pay ZERO extra
+    gathers for emission. Returns None for misaligned grids (callers fall
+    back to the separate temperature-row gather).
+    """
+    if temperature is None:
+        return None
+    vd, vt = density.voxel_size, temperature.voxel_size
+    if abs(vt - vd) > 1e-9 * max(vd, vt):
+        return None
+    delta = []
+    for a in range(3):
+        dw = (
+            density.origin_ijk[a] * vd
+            + density.world_offset[a]
+            - temperature.world_offset[a]
+        ) / vt - temperature.origin_ijk[a]
+        r = round(dw)
+        if abs(dw - r) > 1e-4:
+            return None
+        delta.append(int(r))
+    X, Y, Z = density.shape
+    tX, tY, tZ = temperature.shape
+    lo = [max(0, -d) for d in delta]
+    hi = [min(s, ts - d) for s, ts, d in zip((X, Y, Z), (tX, tY, tZ), delta)]
+    out = jnp.zeros((X, Y, Z), jnp.float32)
+    if any(h <= l for l, h in zip(lo, hi)):
+        return out  # disjoint bboxes: temperature is background 0 everywhere
+    src = temperature.data[
+        lo[0] + delta[0] : hi[0] + delta[0],
+        lo[1] + delta[1] : hi[1] + delta[1],
+        lo[2] + delta[2] : hi[2] + delta[2],
+    ]
+    return out.at[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].set(src)
+
+
+def pack_fused_rows(
+    data: jnp.ndarray, pyr: MajorantPyramid, temp_on_density=None
+) -> jnp.ndarray:
+    """The integrator's hot-path table: [(X+1)(Y+1)(Z+1) + NB, 8 or 16].
 
     The trilinear corner rows (grid.pack_corner_rows, differentiable) followed
     by the per-brick majorant rows (brick majorant, superbrick majorant,
@@ -38,18 +88,28 @@ def pack_fused_rows(data: jnp.ndarray, pyr: MajorantPyramid) -> jnp.ndarray:
     ROW for widths up to 32 bytes (measured on v5e: row-1..row-8 f32 all
     ~1.0-1.1 ms per 64Ki gathers; 40+ byte rows cost ~1.5x), so fusing the two
     fetches into one gather halves the loop's dominant cost.
+
+    temp_on_density (temperature_on_density_grid): when given, its corner
+    rows ride columns 8..15 of the same table — 16-wide rows whose one
+    (~1.5x) gather replaces the emissive path's separate temperature gather.
     """
     # One jit region: built eagerly, the 8x corner table's intermediates
     # (scan output, reshape copy, concatenate operands) accumulate to ~3x
     # the table and OOM HBM at production scale (512^3 -> 4.3 GB table);
     # under jit the reshape is a bitcast and XLA frees intermediates.
     @jax.jit
-    def _build(data_, rows_):
+    def _build(data_, rows_, temp_=None):
         corners = pack_corner_rows(data_)  # [(X+1)(Y+1)(Z+1), 8]
+        if temp_ is not None:
+            corners = jnp.concatenate(
+                [corners, pack_corner_rows(temp_)], axis=1
+            )
         maj = jax.lax.stop_gradient(rows_)  # [NB, 2]
         majp = jnp.pad(maj, ((0, 0), (0, corners.shape[1] - maj.shape[1])))
         return jnp.concatenate([corners, majp], axis=0)
 
+    if temp_on_density is not None:
+        return _build(data, pyr.rows, temp_on_density)
     return _build(data, pyr.rows)
 
 
@@ -80,14 +140,30 @@ class Medium:
         temperature: Optional[DenseGrid] = None,
         order: int = 1,
         pack: bool = True,
+        fuse_temperature: bool = True,
     ) -> "Medium":
-        """Build a medium, computing majorants (Volume ctor, volume.cpp:162-170)."""
+        """Build a medium, computing majorants (Volume ctor, volume.cpp:162-170).
+
+        fuse_temperature: fold an alignment-compatible temperature grid into
+        the fused rows (16-wide; see temperature_on_density_grid) so emissive
+        tracing costs no extra gather. Misaligned grids pack the separate
+        temperature corner rows regardless (the fallback gather path).
+        """
         majorants = build_majorants(density, order=order)
+        t_on_d = (
+            temperature_on_density_grid(density, temperature)
+            if (pack and fuse_temperature)
+            else None
+        )
         return Medium(
             density=density,
             majorants=majorants,
             temperature=temperature,
-            density_rows=pack_fused_rows(density.data, majorants) if pack else None,
+            density_rows=(
+                pack_fused_rows(density.data, majorants, t_on_d)
+                if pack
+                else None
+            ),
             temperature_rows=(
                 pack_corner_rows(temperature.data)
                 if (pack and temperature is not None)
@@ -98,12 +174,15 @@ class Medium:
     def with_density(self, density: DenseGrid) -> "Medium":
         """Replace density and rebuild majorants (inverse-rendering update path)."""
         majorants = build_majorants(density)
+        t_on_d = None
+        if self.density_rows is not None and self.density_rows.shape[1] >= 16:
+            t_on_d = temperature_on_density_grid(density, self.temperature)
         return Medium(
             density=density,
             majorants=majorants,
             temperature=self.temperature,
             density_rows=(
-                pack_fused_rows(density.data, majorants)
+                pack_fused_rows(density.data, majorants, t_on_d)
                 if self.density_rows is not None
                 else None
             ),

@@ -212,6 +212,9 @@ class TravOut(NamedTuple):
     cell_sz: jnp.ndarray  # [N] DDA cell size (debug)
     real_col: jnp.ndarray  # collide with rho > 0
     zero_col: jnp.ndarray  # collide with rho <= 0 (silent advance)
+    temp_adim: Optional[jnp.ndarray] = None  # adimensional temperature at
+    # p_col, from a 16-wide fused row's temperature corners (None unless the
+    # medium folds an aligned temperature grid — pack_fused_rows)
 
 
 def make_traversal(medium: Medium, params: IntegratorParams):
@@ -273,6 +276,7 @@ def make_traversal(medium: Medium, params: IntegratorParams):
         b_flat = (
             jnp.clip(bi, 0, BX - 1) * BY + jnp.clip(bj, 0, BY - 1)
         ) * BZ + jnp.clip(bk, 0, BZ - 1)
+        temp_adim = None
         if fused is not None:
             X, Y, Z = dgrid.shape
             n_corner_rows = (X + 1) * (Y + 1) * (Z + 1)
@@ -280,13 +284,19 @@ def make_traversal(medium: Medium, params: IntegratorParams):
             f = lp - i0.astype(lp.dtype)
             base, valid = corner_row_index(dgrid.shape, i0)
             idx = jnp.where(collide, base, n_corner_rows + b_flat)
-            row = jnp.take(fused, idx, axis=0, mode="clip")  # [N, 8]
+            row = jnp.take(fused, idx, axis=0, mode="clip")  # [N, 8 or 16]
             w8 = trilinear_weights(f)
             # Corner payload (meaningful on collide lanes only):
             rho = jnp.where(valid, jnp.sum(row[:, :8] * w8, axis=-1), 0.0)
             # Majorant payload (meaningful on crossing lanes only):
             bmaj = jnp.where(b_valid, row[:, 0], 0.0)
             smaj = jnp.where(b_valid, row[:, 1], 0.0)
+            if fused.shape[1] >= 16:
+                # Aligned-temperature payload rides the same row: zero extra
+                # gathers for emission (see pack_fused_rows).
+                temp_adim = jnp.where(
+                    valid, jnp.sum(row[:, 8:16] * w8, axis=-1), 0.0
+                )
         else:
             # Fallback (no fused table): two gathers, same control flow.
             rho = sample_trilinear_local(dgrid.data, lp)
@@ -321,6 +331,7 @@ def make_traversal(medium: Medium, params: IntegratorParams):
             sig=sig, sigma_maj=sigma_maj, sig_seg_f=sig_seg_f,
             t_seg_f=t_seg_f, use_super=use_super, cell_lo=cell_lo,
             cell_sz=cell_sz, real_col=real_col, zero_col=zero_col,
+            temp_adim=temp_adim,
         )
 
     return traverse
@@ -393,6 +404,13 @@ def make_step(
 
     traverse = make_traversal(medium, params)
 
+    # Pair-packed blackbody LUT: built ONCE here (outside the wavefront
+    # loop), halving the emission path's LUT gathers (utils/spectral).
+    if emission_on:
+        from ..utils.spectral import blackbody_pairs
+
+        bb_pairs = blackbody_pairs(bb_table)
+
     def step(st: RayState, u: jnp.ndarray) -> RayState:
         active = st.mode != DONE
         in_cam = st.mode == CAM
@@ -416,11 +434,17 @@ def make_step(
 
         L_new = st.L
         if emission_on:
-            temp_k, _ = sample_temperature_kelvin(medium, params, p_col)
-            from ..utils.spectral import blackbody_radiation_xyz
+            if tr.temp_adim is not None:
+                temp_k = (
+                    tr.temp_adim * params.temperature_scale
+                    + params.temperature_offset
+                )
+            else:
+                temp_k, _ = sample_temperature_kelvin(medium, params, p_col)
+            from ..utils.spectral import blackbody_radiation_xyz_from_pairs
 
-            emit = p_a[:, None] * params.le_scale * blackbody_radiation_xyz(
-                bb_table, temp_k
+            emit = p_a[:, None] * params.le_scale * (
+                blackbody_radiation_xyz_from_pairs(bb_pairs, temp_k)
             )
             L_new = L_new + jnp.where(
                 cam_col[:, None], emit * st.wscore[:, None], 0.0

@@ -425,7 +425,7 @@ def _as2d(x):
     return x.reshape(-1, LANE)
 
 
-def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
+def fetch_rows(medium: Medium, params: IntegratorParams, bb_pairs,
                lpx, lpy, lpz, collide, emission_on: bool):
     """The gather core of prestep: one fused-row gather + trilinear dots.
 
@@ -434,6 +434,14 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
     integrator.make_traversal exactly. `emission_on` must equal
     emission_enabled(medium, params) (asserted) — it selects the bb channels
     consistently with the kernel built for the same configuration.
+    bb_pairs: the pair-packed blackbody LUT (spectral.blackbody_pairs),
+    hoisted by the caller so the loop pays ONE LUT gather per iteration.
+
+    Emissive gather budget per lane per iteration:
+      - 16-wide fused rows (aligned temperature grid folded into the main
+        table, models/medium.pack_fused_rows): 2 gathers (row + bb pair).
+      - 8-wide rows (temperature grid with its own transform): 3 gathers
+        (row + temperature corner row + bb pair).
     """
     assert emission_on == emission_enabled(medium, params)
     dgrid = medium.density
@@ -471,7 +479,7 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
     collide_b = collide != 0
     idx = jnp.where(collide_b, base, n_corner_rows + b_flat)
     row = jnp.take(fused, idx.reshape(-1), axis=0, mode="clip").reshape(
-        idx.shape + (8,)
+        idx.shape + (fused.shape[1],)
     )
     gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
     rho = (
@@ -486,32 +494,46 @@ def fetch_rows(medium: Medium, params: IntegratorParams, bb_table,
 
     out = [rho, bmaj, smaj]
     if emission_on:
-        # Temperature trilinear sample at the same (collision) point, via the
-        # temperature grid's own transform (worker.cpp:153-155), then the
-        # blackbody LUT lerp (utils/spectral.py) — all in this fusion.
         from ..utils.spectral import RESOLUTION
-        from ..grids.grid import sample_trilinear_rows
 
-        dg, tg = medium.density, medium.temperature
-        voxel = dg.voxel_size
-        wx = (lpx + dg.origin_ijk[0]) * voxel + dg.world_offset[0]
-        wy = (lpy + dg.origin_ijk[1]) * voxel + dg.world_offset[1]
-        wz = (lpz + dg.origin_ijk[2]) * voxel + dg.world_offset[2]
-        tpx = (wx - tg.world_offset[0]) / tg.voxel_size - tg.origin_ijk[0]
-        tpy = (wy - tg.world_offset[1]) / tg.voxel_size - tg.origin_ijk[1]
-        tpz = (wz - tg.world_offset[2]) / tg.voxel_size - tg.origin_ijk[2]
-        tp = jnp.stack([tpx, tpy, tpz], axis=-1)
-        assert medium.temperature_rows is not None
-        temp_adim = sample_trilinear_rows(medium.temperature_rows, tg.shape, tp)
+        if fused.shape[1] >= 16:
+            # Aligned temperature grid: its corner values ride columns 8..15
+            # of the SAME fused row (pack_fused_rows) — zero extra gathers.
+            # The weights are the density cell's (the grids share cell
+            # geometry; see medium.temperature_on_density_grid).
+            tw = (
+                row[..., 8] * (gx * gy * gz) + row[..., 9] * (gx * gy * fz)
+                + row[..., 10] * (gx * fy * gz) + row[..., 11] * (gx * fy * fz)
+                + row[..., 12] * (fx * gy * gz) + row[..., 13] * (fx * gy * fz)
+                + row[..., 14] * (fx * fy * gz) + row[..., 15] * (fx * fy * fz)
+            )
+            temp_adim = jnp.where(valid, tw, 0.0)
+        else:
+            # Temperature grid with its OWN transform (worker.cpp:153-155):
+            # map the collision point through it and gather its corner row.
+            from ..grids.grid import sample_trilinear_rows
+
+            dg, tg = medium.density, medium.temperature
+            voxel = dg.voxel_size
+            wx = (lpx + dg.origin_ijk[0]) * voxel + dg.world_offset[0]
+            wy = (lpy + dg.origin_ijk[1]) * voxel + dg.world_offset[1]
+            wz = (lpz + dg.origin_ijk[2]) * voxel + dg.world_offset[2]
+            tpx = (wx - tg.world_offset[0]) / tg.voxel_size - tg.origin_ijk[0]
+            tpy = (wy - tg.world_offset[1]) / tg.voxel_size - tg.origin_ijk[1]
+            tpz = (wz - tg.world_offset[2]) / tg.voxel_size - tg.origin_ijk[2]
+            tp = jnp.stack([tpx, tpy, tpz], axis=-1)
+            assert medium.temperature_rows is not None
+            temp_adim = sample_trilinear_rows(
+                medium.temperature_rows, tg.shape, tp
+            )
         temp_k = temp_adim * params.temperature_scale + params.temperature_offset
-        nbb = bb_table.shape[0]
+        nbb = bb_pairs.shape[0] + 1
         tc = jnp.clip(temp_k, 0.0, (nbb - 1) * RESOLUTION - 1e-3)
         ti = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
         ti = jnp.clip(ti, 0, nbb - 2)
         frac = tc / RESOLUTION - (ti - 1).astype(tc.dtype)
-        lo = jnp.take(bb_table, ti.reshape(-1), axis=0).reshape(ti.shape + (3,))
-        hi = jnp.take(bb_table, (ti + 1).reshape(-1), axis=0).reshape(ti.shape + (3,))
-        bb = lo + (hi - lo) * frac[..., None]
+        pr = jnp.take(bb_pairs, ti.reshape(-1), axis=0).reshape(ti.shape + (6,))
+        bb = pr[..., :3] + pr[..., 3:] * frac[..., None]
         bb = jnp.where(temp_k[..., None] <= 0.0, 0.0, bb)
         out.extend([bb[..., 0], bb[..., 1], bb[..., 2]])
     return tuple(out)
@@ -531,6 +553,12 @@ def make_prestep(medium: Medium, params: IntegratorParams, bb_table,
     dgrid = medium.density
     O = jnp.asarray(dgrid.origin_ijk, jnp.float32)
     voxel = float(dgrid.voxel_size)
+    if emission_on:
+        from ..utils.spectral import blackbody_pairs
+
+        bb_pairs = blackbody_pairs(bb_table)  # hoisted: built once per trace
+    else:
+        bb_pairs = None
     i_mode = STATE_I32.index("mode")
     i_ctr = STATE_I32.index("ctr")
     idx = {n: i for i, n in enumerate(STATE_F32)}
@@ -563,7 +591,7 @@ def make_prestep(medium: Medium, params: IntegratorParams, bb_table,
         collide_i = collide.astype(jnp.int32)
 
         fetched = fetch_rows(
-            medium, params, bb_table, lpx, lpy, lpz, collide_i, emission_on
+            medium, params, bb_pairs, lpx, lpy, lpz, collide_i, emission_on
         )
         ff = jnp.stack(
             list(fetched[:3]) + [lpx, lpy, lpz, t_cand, t_next, u1, u2, u3]

@@ -133,6 +133,40 @@ def blackbody_radiation_xyz(table: jnp.ndarray, temperature_k: jnp.ndarray) -> j
     return jnp.where(t[..., None] <= 0.0, 0.0, out)
 
 
+def blackbody_pairs(table: jnp.ndarray) -> jnp.ndarray:
+    """Pair-packed LUT [n-1, 6]: row i = (table[i].xyz, (table[i+1]-table[i]).xyz).
+
+    The straddling-breakpoint lerp needs both table[idx] and table[idx+1] —
+    two row gathers per lookup from the raw table. Packing each segment's
+    (lo, hi-lo) into one row halves the gather count in the integrator's hot
+    loop; lo + slope * frac is bitwise-identical to the two-gather lerp
+    (the precomputed difference is the same f32 subtraction). Callers hoist
+    this outside the wavefront loop (it is built once per trace).
+    """
+    t = jnp.asarray(table)
+    return jnp.concatenate([t[:-1], t[1:] - t[:-1]], axis=-1)
+
+
+def blackbody_radiation_xyz_from_pairs(
+    pairs: jnp.ndarray, temperature_k: jnp.ndarray
+) -> jnp.ndarray:
+    """blackbody_radiation_xyz via the pair-packed LUT — one row gather.
+
+    Bitwise-identical output to blackbody_radiation_xyz(table, t) for
+    pairs = blackbody_pairs(table).
+    """
+    t = jnp.asarray(temperature_k)
+    n = pairs.shape[0] + 1
+    t_max = (n - 1) * RESOLUTION
+    tc = jnp.clip(t, 0.0, t_max - 1e-3)
+    idx = jnp.floor(tc / RESOLUTION).astype(jnp.int32) + 1
+    idx = jnp.clip(idx, 0, n - 2)
+    frac = tc / RESOLUTION - (idx - 1).astype(tc.dtype)
+    row = pairs[idx]
+    out = row[..., :3] + row[..., 3:] * frac[..., None]
+    return jnp.where(t[..., None] <= 0.0, 0.0, out)
+
+
 def blackbody_radiation_xyz_value_grad(table: jnp.ndarray, temperature_k: jnp.ndarray):
     """(xyz, d xyz / dT) of the LUT lookup — the closed-form derivative of
     blackbody_radiation_xyz, used by the replay backward pass (diff/vjp.py).
