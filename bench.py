@@ -218,15 +218,16 @@ def bench_full():
         del med
 
     # --- fire config (emissive, deep paths): max_iters truncation sweep ---
+    # The pinned scene's temperature grid has a deliberate half-voxel shift
+    # (it exercises the reference's own-transform sampling, worker.cpp:153),
+    # which keeps it on the XLA loop per the production path selection
+    # (megakernel.use_fused_path: misaligned temperature -> 8-wide rows ->
+    # XLA wins that configuration; PERF.md section 4c).
     dens, temp = fire_plume(height=96, radius=28.0)
     med = Medium.from_grids(dens, temp)
     bb = jnp.asarray(blackbody_xyz_table())
     cam = _camera(256, 256, (170.0, 48.0, 0.0), look=(0.0, 48.0, 0.0), vfov=37.0)
     sweep = {}
-    # Fire uses the XLA loop: at identical iteration counts (221/wave,
-    # bitwise-equal radiance) the fused path measures ~9 ms/wave slower on
-    # this emissive deep-path scene (PERF.md section 4c) - path choice is
-    # per-scene, cross-checked by --verify.
     for mi in (2048, 4096, 8192):
         rays, ncap, _ = _render_throughput(
             med, cam, _fire_params(max_iters=mi), 256, 256, 8, bb=bb, reps=2,
@@ -235,6 +236,24 @@ def bench_full():
     out["fire_max_iters_sweep"] = sweep
     out["fire_rays_per_s"] = sweep["8192"]["rays_per_s"]
     out["fire_capped_lanes"] = sweep["8192"]["capped_lanes"]
+
+    # Same transport with an ALIGNMENT-COMPATIBLE temperature grid (the
+    # common case for co-simulated .nvdb exports): the temperature corners
+    # fold into 16-wide fused rows and the Pallas megakernel is the
+    # production path (and measured winner) — the emissive fused number.
+    from volume_path_tracer_tpu.grids.grid import dense_grid_from_array
+
+    temp_al = dense_grid_from_array(
+        np.asarray(temp.data), origin_ijk=temp.origin_ijk,
+        voxel_size=temp.voxel_size, world_offset=(0.0, 0.0, 0.0),
+    )
+    med_al = Medium.from_grids(dens, temp_al)
+    assert med_al.density_rows.shape[1] == 16
+    rays, ncap, _ = _render_throughput(
+        med_al, cam, _fire_params(max_iters=8192), 256, 256, 8, bb=bb,
+        reps=2, tracer=trace_rays_fused,
+    )
+    out["fire_aligned_fused_rays_per_s"] = round(rays, 1)
 
     # --- forward+backward (replay VJP) train-step throughput ---
     import optax
@@ -247,7 +266,10 @@ def bench_full():
 
     base = _M.from_grids(fog_sphere(radius=30.0, falloff=6.0), pack=False)
     camera = _camera(128, 128, (110.0, 0.0, 0.0))
-    k = 2
+    # 8 samples/pixel/step: the scatter-wall replay is latency-bound below
+    # ~32k lanes, so wider steps are nearly free (PERF.md section 4b), and a
+    # real optimization wants the lower-variance loss anyway.
+    k = 8
     optimizer = optax.adam(1e-2)
     grids = OptimizableGrids(log_density=param_from_density(base.density.data))
     opt_state = optimizer.init(grids)
@@ -260,62 +282,110 @@ def bench_full():
     pids = jnp.arange(128 * 128, dtype=jnp.int32)
     target = jnp.zeros((128 * 128, 3), jnp.float32)
     g2, s2, loss = step(grids, opt_state, raster, pids, target, jnp.asarray([3, 1], jnp.uint32))
-    _ = float(loss)
-    # Best-of-3 single steps (same methodology as the render passes: the
-    # first step after a warm-up is routinely ~2x slower on this host).
+    _ = float(loss)  # warmup: compile + first-execution effects
+    # Chained-step methodology: a real optimization loop does NOT read the
+    # loss back every step, so the timed region chains CH steps on device
+    # (grids/opt_state stay resident) and forces ONE transfer at the end —
+    # per-step numbers are free of the ~22 ms tunnel round-trip that a
+    # per-step float(loss) would add. Best of 3 chains.
+    CH = 4
     best = None
-    for it in range(3):
+    for rep in range(3):
+        gg, ss = g2, s2
         t0 = time.perf_counter()
-        g2, s2, loss = step(g2, s2, raster, pids, target, jnp.asarray([3, it + 2], jnp.uint32))
-        _ = float(loss)  # force completion inside the timed region
+        for i in range(CH):
+            gg, ss, loss = step(
+                gg, ss, raster, pids, target,
+                jnp.asarray([3, 2 + rep * CH + i], jnp.uint32),
+            )
+        _ = float(loss)  # force completion of the whole chain
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    out["train_fwd_bwd_rays_per_s"] = round(128 * 128 * k / best, 1)
+    out["train_fwd_bwd_rays_per_s"] = round(128 * 128 * k * CH / best, 1)
+    out["train_method"] = (
+        f"{k} spp/step, best-of-3 chains of {CH} device-resident steps, "
+        "one forced transfer per chain"
+    )
     return out
 
 
-def bench_verify():
-    """XLA loop vs Pallas megakernel on the real chip: agreement + timings."""
+def _verify_scene(out, tag, medium, camera, params, bb=None):
+    """One XLA-vs-fused cross-check: timings, lane agreement, error tails."""
     import jax.numpy as jnp
 
-    from volume_path_tracer_tpu.grids.procedural import fog_sphere
-    from volume_path_tracer_tpu.models.medium import Medium
     from volume_path_tracer_tpu.render.integrator import trace_rays
     from volume_path_tracer_tpu.render.megakernel import trace_rays_fused
 
-    medium = Medium.from_grids(fog_sphere(radius=30.0, falloff=6.0))
-    camera = _camera(256, 256, (110.0, 0.0, 0.0))
-    params = _wdas_params()
-    out = {}
     images = {}
     for name, tracer in (("xla", trace_rays), ("fused", trace_rays_fused)):
         rays, _, times = _render_throughput(
-            medium, camera, params, 256, 256, 4, tracer=tracer, reps=2
+            medium, camera, params, 256, 256, 4, bb=bb, tracer=tracer, reps=2
         )
-        wave_jit = _make_wave_fn(tracer, params)
+        wave_jit = _make_wave_fn(tracer, params, bb)
         ys, xs = np.mgrid[0:256, 0:256]
         raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
         pids = jnp.arange(256 * 256, dtype=jnp.int32)
         L, _, _ = wave_jit(medium, camera, raster, pids, jnp.asarray([10, 1], jnp.uint32))
         images[name] = np.asarray(L)
-        out[f"{name}_rays_per_s"] = round(rays, 1)
-        out[f"{name}_pass_times_s"] = times
+        out[f"{tag}{name}_rays_per_s"] = round(rays, 1)
+        out[f"{tag}{name}_pass_times_s"] = times
     a, b = images["xla"], images["fused"]
     # Bitwise equality is the wrong metric on hardware: XLA and Mosaic lower
     # log1p/sin/cos with ulp-level differences, so nearly every multi-bounce
     # lane differs in the last bits. Lane agreement = isclose; knife-edge
     # event flips (a branch decided by one ulp) leave a small disagreeing
-    # remainder, bounded below.
+    # remainder whose error DISTRIBUTION is recorded below: a flipped event
+    # re-rolls one Monte Carlo sample, so disagreeing lanes are bounded by
+    # the per-sample radiance range, and the mean stays unbiased (asserted).
     lane_bitwise = float(np.mean(np.all(a == b, axis=-1)))
-    lane_close = float(
-        np.mean(np.isclose(a, b, rtol=1e-3, atol=1e-4).all(-1))
-    )
+    close_mask = np.isclose(a, b, rtol=1e-3, atol=1e-4).all(-1)
+    lane_close = float(np.mean(close_mask))
     rel_mean = abs(a.mean() - b.mean()) / max(abs(a.mean()), 1e-9)
-    out["lane_bitwise_fraction"] = round(lane_bitwise, 4)
-    out["lane_close_fraction"] = round(lane_close, 4)
-    out["mean_rel_diff"] = round(float(rel_mean), 6)
-    assert rel_mean < 0.01, f"mean mismatch: {rel_mean}"
-    assert lane_close > 0.9, f"lane agreement too low: {lane_close}"
+    out[f"{tag}lane_bitwise_fraction"] = round(lane_bitwise, 4)
+    out[f"{tag}lane_close_fraction"] = round(lane_close, 4)
+    out[f"{tag}mean_rel_diff"] = round(float(rel_mean), 6)
+    # Error tails over the DISAGREEING lanes (VERDICT r3 item 4).
+    scale = max(float(np.abs(a).mean()), 1e-9)
+    diff = np.abs(a - b).max(-1)
+    bad = diff[~close_mask]
+    if bad.size:
+        out[f"{tag}disagree_p50_rel"] = round(float(np.percentile(bad, 50)) / scale, 4)
+        out[f"{tag}disagree_p99_rel"] = round(float(np.percentile(bad, 99)) / scale, 4)
+        out[f"{tag}disagree_max_abs"] = round(float(bad.max()), 4)
+    assert rel_mean < 1e-3, f"{tag} mean mismatch: {rel_mean}"
+    assert lane_close > 0.95, f"{tag} lane agreement too low: {lane_close}"
+    return out
+
+
+def bench_verify():
+    """XLA loop vs Pallas megakernel on the real chip: agreement + timings.
+
+    Covers the flagship scattering scene AND an emissive scene (fire
+    transport, aligned temperature grid -> 16-wide fused rows, the
+    megakernel's emissive configuration).
+    """
+    import jax.numpy as jnp
+
+    from volume_path_tracer_tpu.grids.grid import dense_grid_from_array
+    from volume_path_tracer_tpu.grids.procedural import fire_plume, fog_sphere
+    from volume_path_tracer_tpu.models.medium import Medium
+    from volume_path_tracer_tpu.utils.spectral import blackbody_xyz_table
+
+    out = {}
+    medium = Medium.from_grids(fog_sphere(radius=30.0, falloff=6.0))
+    camera = _camera(256, 256, (110.0, 0.0, 0.0))
+    _verify_scene(out, "", medium, camera, _wdas_params())
+
+    dens, temp = fire_plume(height=96, radius=28.0)
+    temp_al = dense_grid_from_array(
+        np.asarray(temp.data), origin_ijk=temp.origin_ijk,
+        voxel_size=temp.voxel_size, world_offset=(0.0, 0.0, 0.0),
+    )
+    med_fire = Medium.from_grids(dens, temp_al)
+    assert med_fire.density_rows.shape[1] == 16
+    cam_fire = _camera(256, 256, (170.0, 48.0, 0.0), look=(0.0, 48.0, 0.0), vfov=37.0)
+    bb = jnp.asarray(blackbody_xyz_table())
+    _verify_scene(out, "fire_", med_fire, cam_fire, _fire_params(max_iters=4096), bb=bb)
     return out
 
 
@@ -371,7 +441,7 @@ def main():
     for p in sorted(glob.glob(os.path.join(_REPO, "BENCH_r[0-9][0-9].json"))):
         try:
             rec = json.load(open(p))
-            v = rec.get("parsed", {}).get("value")
+            v = (rec.get("parsed") or {}).get("value")
             if v:
                 prev_rounds[f"r{int(rec['n']):02d}"] = v
         except (ValueError, KeyError, OSError):

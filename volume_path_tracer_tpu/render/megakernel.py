@@ -84,15 +84,21 @@ def use_fused_path(medium: Medium, params: IntegratorParams, n_lanes: int) -> bo
     """Single source of truth for the megakernel-vs-XLA-loop path choice.
 
     The Pallas megakernel wins measured head-to-heads on TPU for packed media
-    at kernel-tileable batch sizes; the XLA loop is the only path on CPU/GPU
-    and for unpacked media (PERF.md section 4). All conditions are static at
-    trace time; callers (render/renderer.py, parallel/shard.py,
-    __graft_entry__) share this predicate so it cannot drift.
+    at kernel-tileable batch sizes — including emissive media whose aligned
+    temperature grid is folded into 16-wide fused rows (fire transport 2.62M
+    vs 2.33M for the XLA loop on the same wide medium; PERF.md section 4c).
+    Emissive media with a misaligned temperature grid (8-wide rows + separate
+    temperature gather) stay on the XLA loop, which wins that configuration.
+    The XLA loop is also the only path on CPU/GPU and for unpacked media.
+    All conditions are static at trace time; callers (render/renderer.py,
+    parallel/shard.py, __graft_entry__) share this predicate so it cannot
+    drift.
     """
+    rows = medium.density_rows
     return (
         jax.default_backend() == "tpu"
-        and medium.density_rows is not None
-        and not emission_enabled(medium, params)
+        and rows is not None
+        and (not emission_enabled(medium, params) or rows.shape[1] >= 16)
         and n_lanes % 1024 == 0
         and n_lanes > HYBRID_MIN_LANES
     )
@@ -110,12 +116,15 @@ STATE_F32 = (
 STATE_I32 = ("depth", "mode", "ctr")
 # Prestep results, computed in the XLA gather fusion and consumed by the
 # kernel in the same iteration. bb* channels only exist when emission is on.
+# The collide flag and next-segment start are NOT shipped: the kernel
+# re-derives them from its own state + t_cand with bitwise-identical
+# comparisons (collide = active & has_seg & sig>0 & t_cand < t_seg;
+# t_next = has_seg ? t_seg : t) — two fewer [rows, 128] HBM arrays per
+# iteration across the prestep/kernel boundary.
 FETCH_F32 = (
-    "rho", "bmaj", "smaj", "lpx", "lpy", "lpz", "t_cand", "t_next",
-    "u1", "u2", "u3",
+    "rho", "bmaj", "smaj", "lpx", "lpy", "lpz", "t_cand", "u1", "u2", "u3",
 )
 FETCH_F32_EMIT = FETCH_F32 + ("bbx", "bby", "bbz")
-FETCH_I32 = ("collide",)  # 0/1
 
 
 def _safe_inv1(d):
@@ -195,7 +204,7 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
     ~50 small ones (DMA issue overhead dominated the first cut).
 
     inputs:  state_f32 [21,r,128], state_i32 [3,r,128],
-             fetch_f32 [11 or 14, r, 128], fetch_i32 [1,r,128]
+             fetch_f32 [10 or 13, r, 128]
     outputs: state_f32', state_i32'
     """
     dgrid = medium.density
@@ -220,21 +229,27 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
     max_depth = params.max_depth
     fetch_f32 = FETCH_F32_EMIT if emission_on else FETCH_F32
 
-    def kernel(sf_in, si_in, ff_in, fi_in, sf_out, si_out):
+    def kernel(sf_in, si_in, ff_in, sf_out, si_out):
         st = {name: sf_in[i] for i, name in enumerate(STATE_F32)}
         st.update({name: si_in[i] for i, name in enumerate(STATE_I32)})
         fe = {name: ff_in[i] for i, name in enumerate(fetch_f32)}
-        fe.update({name: fi_in[i] for i, name in enumerate(FETCH_I32)})
         rho, bmaj, smaj = fe["rho"], fe["bmaj"], fe["smaj"]
 
         active = st["mode"] != DONE
         in_cam = st["mode"] == CAM
         in_shw = st["mode"] == SHADOW
-        collide = (fe["collide"] != 0) & active
-        cross = active & (~collide)
-        exited = cross & (fe["t_next"] >= st["t_exit"] - 1e-6)
-        fetchm = cross & (~exited)
+        # Re-derive the free-flight branch from state + t_cand: bitwise the
+        # same comparisons the prestep made (see FETCH_F32 note).
+        has_seg = st["t_seg"] > st["t"]
         sig = jnp.maximum(st["sig_seg"], _TINY)
+        collide = (
+            active & has_seg & (st["sig_seg"] > 0.0)
+            & (fe["t_cand"] < st["t_seg"])
+        )
+        t_next = jnp.where(has_seg, st["t_seg"], st["t"])
+        cross = active & (~collide)
+        exited = cross & (t_next >= st["t_exit"] - 1e-6)
+        fetchm = cross & (~exited)
         sigma_maj = st["sig_seg"]
 
         rho_pos = rho > 0.0
@@ -255,7 +270,7 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
             clx, cly, clz, clx + cell_sz, cly + cell_sz, clz + cell_sz,
         )
         t_seg_f = jnp.minimum(t_cell, st["t_exit"])
-        t_seg_f = jnp.maximum(t_seg_f, fe["t_next"] + 2 * _LOOKAHEAD)
+        t_seg_f = jnp.maximum(t_seg_f, t_next + 2 * _LOOKAHEAD)
         sig_seg_f = jnp.where(use_super, smaj, bmaj) * sigma_t
 
         # the iteration's event/HG/RR draws, computed by prestep
@@ -394,7 +409,7 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
 
         plain_adv = cam_null | zero_col | (in_shw & real_col & ~shadow_finish)
         t = jnp.where(plain_adv, fe["t_cand"], t)
-        t = jnp.where(fetchm, fe["t_next"], t)
+        t = jnp.where(fetchm, t_next, t)
 
         new_ray = start_shadow_ok | resume_ok | miss_resume_ok
         sig_seg = jnp.where(fetchm, sig_seg_f, st["sig_seg"])
@@ -543,8 +558,8 @@ def make_prestep(medium: Medium, params: IntegratorParams, bb_table,
                  emission_on: bool):
     """Build the XLA half of the iteration: RNG + free flight + gather.
 
-    Returns prestep(pids2d, stream2d, sf, si) -> (ff [nfe, rows, 128],
-    fi [1, rows, 128]). Consumes the same counter draws as
+    Returns prestep(pids2d, stream2d, sf, si) -> ff [nfe, rows, 128].
+    Consumes the same counter draws as
     integrator.trace_rays: u = pcg4d(pixel, stream, ctr, 0) — u0 drives the
     free flight here; u1..u3 ride the fetch array to the kernel (event draw,
     HG phi/cos). All of this fuses with the row gather, whose memory latency
@@ -594,11 +609,10 @@ def make_prestep(medium: Medium, params: IntegratorParams, bb_table,
             medium, params, bb_pairs, lpx, lpy, lpz, collide_i, emission_on
         )
         ff = jnp.stack(
-            list(fetched[:3]) + [lpx, lpy, lpz, t_cand, t_next, u1, u2, u3]
+            list(fetched[:3]) + [lpx, lpy, lpz, t_cand, u1, u2, u3]
             + list(fetched[3:])
         )
-        fi = collide_i[None]
-        return ff, fi
+        return ff
 
     return prestep
 
@@ -617,7 +631,7 @@ def _pallas_step_call(medium, params, emission_on, n_lanes, block_lanes,
             (n_fields, brows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
-    in_specs = [packed(nf), packed(ni), packed(n_fetch), packed(len(FETCH_I32))]
+    in_specs = [packed(nf), packed(ni), packed(n_fetch)]
     out_specs = (packed(nf), packed(ni))
     out_shape = (
         jax.ShapeDtypeStruct((nf, rows, LANE), jnp.float32),
@@ -731,8 +745,8 @@ def trace_rays_fused(
 
         def body(carry):
             sf, si, it, alive = carry
-            ff, fi = prestep(pids2d, stream2d, sf, si)
-            sf, si = call(sf, si, ff, fi)
+            ff = prestep(pids2d, stream2d, sf, si)
+            sf, si = call(sf, si, ff)
             alive_out = jnp.sum((si[i_mode] != DONE).astype(jnp.int32))
             return sf, si, it + 1, alive_out
 
