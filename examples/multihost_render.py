@@ -81,28 +81,35 @@ def main():
     raster, pids, npix = multihost.make_global_ray_batch(mesh, W, H)
 
     # warmup
-    contrib, _ = render_wave_sharded(
+    contrib, _, _ = render_wave_sharded(
         mesh, medium, params, camera, None, raster, pids, 10, 0, True
     )
     jax.block_until_ready(contrib)
 
     t0 = time.perf_counter()
     film = None
+    iters_tot = None
     for w in range(1, args.waves + 1):
-        contrib, _ = render_wave_sharded(
+        contrib, _, iters = render_wave_sharded(
             mesh, medium, params, camera, None, raster, pids, 10, w, True
         )
         film = contrib if film is None else film + contrib
+        iters_tot = iters if iters_tot is None else iters_tot + iters
     jax.block_until_ready(film)
     dt = time.perf_counter() - t0
     spp_per_wave = mesh.shape["spp"]
     rays = npix * args.waves * spp_per_wave
     if jax.process_index() == 0:
         n_dev = mesh.devices.size
+        # Per-device wavefront iterations/s: the contention-honest work-rate
+        # metric (each device's while-loop trips over its own shard; rays/s
+        # on a shared-core host measures contention, not scaling).
+        it_tot = int(iters_tot)
         print(
             f"[multihost] {rays/1e6:.1f}M rays in {dt:.2f}s: "
             f"{rays/dt/1e6:.2f}M rays/s total, "
-            f"{rays/dt/n_dev/1e6:.3f}M rays/s/chip over {n_dev} chips"
+            f"{rays/dt/n_dev/1e6:.3f}M rays/s/chip over {n_dev} chips, "
+            f"{it_tot} device-iterations, {it_tot/dt/n_dev:.1f} iters/s/device"
         )
     # gather_film_to_host runs an XLA all-gather when the film is cross-host
     # sharded: EVERY process must call it (a process-0-only call deadlocks

@@ -54,7 +54,7 @@ def main():
     medium_r = multihost.replicate(mesh, medium)
     camera_r = multihost.replicate(mesh, camera)
 
-    contrib, n_capped = render_wave_sharded(
+    contrib, n_capped, _ = render_wave_sharded(
         mesh, medium_r, params, camera_r, None, raster_g, pids_g,
         seed=7, wave=3, use_jitter=True,
     )

@@ -90,7 +90,7 @@ def test_two_process_render_and_grad_match_single_process(tmp_path):
     medium, camera, params, W, H = small_scene()
     mesh = make_mesh(8, spp=2)
     raster_g, pids_g, npix = multihost.make_global_ray_batch(mesh, W, H)
-    contrib, _ = render_wave_sharded(
+    contrib, _, _ = render_wave_sharded(
         mesh, medium, params, camera, None, raster_g, pids_g,
         seed=7, wave=3, use_jitter=True,
     )

@@ -59,7 +59,7 @@ class TestShardInvariance:
         pids = jnp.arange(W * H, dtype=jnp.int32)
 
         mesh = make_mesh(8, spp=1)
-        sharded, n_capped = render_wave_sharded(
+        sharded, n_capped, _ = render_wave_sharded(
             mesh, medium, params, camera, None, raster, pids, 7, 3, True
         )
         assert int(n_capped) == 0
@@ -73,7 +73,7 @@ class TestShardInvariance:
         pids = jnp.arange(W * H, dtype=jnp.int32)
 
         mesh = make_mesh(8, spp=4)  # rays=2, spp=4: wave w covers waves 4w..4w+3
-        sharded, _ = render_wave_sharded(
+        sharded, _, _ = render_wave_sharded(
             mesh, medium, params, camera, None, raster, pids, 7, 1, True
         )
         seq = sum(
@@ -89,10 +89,10 @@ class TestShardInvariance:
         ys, xs = np.mgrid[0:H, 0:W]
         raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
         pids = jnp.arange(W * H, dtype=jnp.int32)
-        a, _ = render_wave_sharded(
+        a, _, _ = render_wave_sharded(
             make_mesh(8, spp=1), medium, params, camera, None, raster, pids, 7, 5, True
         )
-        b, _ = render_wave_sharded(
+        b, _, _ = render_wave_sharded(
             make_mesh(4, spp=1), medium, params, camera, None, raster, pids, 7, 5, True
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -131,3 +131,122 @@ class TestShardedTraining:
             np.asarray(g1.log_density), np.asarray(gN.log_density),
             rtol=1e-4, atol=1e-6,
         )
+
+
+class TestCollectiveStructure:
+    """Structural proof of the communication plan (VERDICT r3 item 3).
+
+    Wall-clock scaling cannot be measured honestly on this 2-core host
+    (MULTIHOST.md), so instead the COMPILED programs are inspected: the
+    forward pass must be communication-free across the 'rays' axis (pixel
+    shards are disjoint film regions, SURVEY.md section 2.3), and the only
+    collectives anywhere must be the expected psums (all-reduces) — 'spp'
+    film accumulation, the global capped-lane count, and the training
+    grid-gradient/loss reductions. Any all-gather / all-to-all /
+    collective-permute / reduce-scatter is a sharding bug by definition.
+    """
+
+    FORBIDDEN = ("all-gather", "all-to-all", "collective-permute",
+                 "reduce-scatter")
+
+    @staticmethod
+    def _collective_census(hlo_text):
+        import re
+
+        counts = {}
+        # HLO op names appear as e.g. '%all-reduce.12 =' / 'all-reduce-start'
+        for kind in ("all-reduce",) + TestCollectiveStructure.FORBIDDEN:
+            counts[kind] = len(
+                re.findall(rf"= \S* ?{kind}[-.( ]", hlo_text)
+            ) or len(re.findall(rf"{kind}(?:-start)?[.(]", hlo_text))
+        return counts
+
+    def _compiled_hlo(self, fn, *args, **static):
+        jitted = jax.jit(fn, **static)
+        return jitted.lower(*args).compile().as_text()
+
+    def test_forward_rays_sharding_has_no_collectives(self):
+        """Pure ray-sharded forward: ZERO collectives in the optimized HLO."""
+        import functools
+        from jax.sharding import PartitionSpec as P
+
+        medium, camera, params, W, H = _scene()
+        mesh = make_mesh(8, spp=1)
+        ys, xs = np.mgrid[0:H, 0:W]
+        raster = jnp.asarray(
+            np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
+        pids = jnp.arange(W * H, dtype=jnp.int32)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P("rays", None), P("rays")),
+            out_specs=P("rays", None), check_vma=False,
+        )
+        def fwd(medium_, camera_, raster_, pids_):
+            stream = vrng.mix_stream(7, 3)
+            stream = jnp.broadcast_to(stream, pids_.shape)
+            u = vrng.counter_uniforms(pids_, stream, jnp.int32(2**31 - 1), 2)
+            o_w, d_w = camera_.generate_rays(raster_, u * 0.5)
+            L, _, _ = trace_rays(medium_, params, None, o_w, d_w, pids_, stream)
+            return L
+
+        hlo = self._compiled_hlo(fwd, medium, camera, raster, pids)
+        census = self._collective_census(hlo)
+        assert all(v == 0 for v in census.values()), census
+
+    def test_wave_sharded_collectives_are_the_expected_psums(self):
+        """render_wave_sharded (rays=4 x spp=2): only all-reduces, and only
+        the film-over-'spp' + global-ncap psums (XLA may fuse them)."""
+        medium, camera, params, W, H = _scene()
+        mesh = make_mesh(8, spp=2)
+        ys, xs = np.mgrid[0:H, 0:W]
+        raster = jnp.asarray(
+            np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
+        pids = jnp.arange(W * H, dtype=jnp.int32)
+
+        hlo = self._compiled_hlo(
+            render_wave_sharded,
+            mesh, medium, params, camera, None, raster, pids, 7, 3, True,
+            static_argnames=("mesh", "params", "use_jitter"),
+        )
+        census = self._collective_census(hlo)
+        for kind in self.FORBIDDEN:
+            assert census[kind] == 0, census
+        assert 1 <= census["all-reduce"] <= 3, census
+
+    def test_train_step_collectives_are_grad_and_loss_psums(self):
+        import dataclasses
+
+        import optax
+
+        from volume_path_tracer_tpu.diff.inverse import (
+            OptimizableGrids, make_train_step, param_from_density,
+        )
+
+        medium, camera, params, W, H = _scene(width=16, height=8)
+        params = dataclasses.replace(params, max_iters=64)
+        base = Medium.from_grids(
+            dense_grid_from_array(np.asarray(medium.density.data)), pack=False
+        )
+        grids = OptimizableGrids(
+            log_density=param_from_density(jnp.full(base.density.shape, 0.2))
+        )
+        opt = optax.sgd(0.1)
+        step = make_train_step(base, params, camera, None, opt, n_iters=48,
+                               mesh=make_mesh(8, spp=2), samples_per_step=1)
+        ys, xs = np.mgrid[0:H, 0:W]
+        raster = jnp.asarray(
+            np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
+        pids = jnp.arange(W * H, dtype=jnp.int32)
+        target = jnp.zeros((W * H, 3))
+        sw = jnp.asarray([3, 1], jnp.uint32)
+
+        hlo = (
+            step.lower(grids, opt.init(grids), raster, pids, target, sw)
+            .compile().as_text()
+        )
+        census = self._collective_census(hlo)
+        for kind in self.FORBIDDEN:
+            assert census[kind] == 0, census
+        # grid-gradient psum + (sq, n) loss psum; XLA may fuse or split.
+        assert 1 <= census["all-reduce"] <= 4, census

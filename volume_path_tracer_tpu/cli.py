@@ -228,7 +228,7 @@ def _render_wave_sharded(scene, mesh, wave, film):
 
     H, W = scene.height, scene.width
     coords, pids, npix = pad_ray_batch(W, H, mesh.shape["rays"])
-    contrib, n_capped = render_wave_sharded(
+    contrib, n_capped, _ = render_wave_sharded(
         mesh, scene.medium, scene.params, scene.camera, _bb(scene),
         jnp.asarray(coords), jnp.asarray(pids), scene.seed, wave,
         scene.use_jitter,

@@ -75,12 +75,16 @@ def render_wave_sharded(
     wave,
     use_jitter: bool,
 ):
-    """One sharded wave: returns (film contribution [N, 4], n_capped []).
+    """One sharded wave: returns (film contribution [N, 4], n_capped [],
+    iters []).
 
     Each ('rays', 'spp') device renders its pixel shard at global wave index
     wave * spp_size + spp_index, then contributions are psum'd over 'spp' —
     one call therefore adds spp_size samples to every pixel. n_capped is the
-    global (all-shards) count of rays truncated at the iteration cap.
+    global (all-shards) count of rays truncated at the iteration cap; iters
+    is the all-shards SUM of wavefront loop iterations — divided by the
+    device count it gives the per-device work rate the multi-process harness
+    reports (a contention-honest scaling metric; see MULTIHOST.md).
     """
     spp_size = mesh.shape["spp"]
     seed_wave = jnp.asarray([seed, wave], jnp.uint32)
@@ -89,7 +93,7 @@ def render_wave_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P("rays", None), P("rays"), P()),
-        out_specs=(P("rays", None), P()),
+        out_specs=(P("rays", None), P(), P()),
         check_vma=False,
     )
     def shard_fn(medium_, camera_, raster, pids, seed_wave_):
@@ -109,7 +113,9 @@ def render_wave_sharded(
             from ..render.megakernel import trace_rays_fused as _tracer
         else:
             _tracer = trace_rays
-        L, _, ncap = _tracer(medium_, params, bb_table, o_w, d_w, pids, stream)
+        L, iters, ncap = _tracer(
+            medium_, params, bb_table, o_w, d_w, pids, stream
+        )
         contrib = jnp.concatenate(
             [camera_.imaging_ratio * L, jnp.ones((L.shape[0], 1), jnp.float32)],
             axis=-1,
@@ -117,6 +123,7 @@ def render_wave_sharded(
         return (
             jax.lax.psum(contrib, "spp"),
             jax.lax.psum(ncap, ("rays", "spp")),
+            jax.lax.psum(iters, ("rays", "spp")),
         )
 
     return shard_fn(medium, camera, raster_xy, pixel_ids, seed_wave)
@@ -155,7 +162,7 @@ def render_film_sharded(
     )
     for w0 in range(0, num_waves, spp_size):
         wave = 1 + w0 // spp_size
-        contrib, _ = jit_render(
+        contrib, _, _ = jit_render(
             mesh, medium, params, camera, bb_table, raster_j, pids_j,
             seed, wave, use_jitter,
         )
