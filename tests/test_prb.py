@@ -190,3 +190,81 @@ class TestReplayInternals:
         p = _params(sigma_a=0.2, sigma_s=0.4, hg_g=0.0, max_iters=12)
         ga, gp = _grad_pair(p, rho, n_rays=2048)
         _assert_match(ga[0], gp[0])
+
+
+class TestSavedWalkResiduals:
+    """Round-4 saved-walk machinery (_trace_rays_record + the saved replay).
+
+    The forward records one float per NEE shadow walk; the replay consumes
+    it instead of re-walking (PRE) each shadow ray. These tests pin the
+    residual encoding and prove the saved path computes the SAME gradient
+    as the residual-free PRE+GRAD fallback.
+    """
+
+    def _scene(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rho = (rng.uniform(0.0, 1.2, (9, 9, 9)) ** 2).astype(np.float32)
+        med = make_med(rho, pack=True)
+        p = _params(
+            sigma_a=0.1, sigma_s=0.5, hg_g=0.3,
+            distant_xyz=(0.95, 1.0, 1.09), distant_multiplier=5.0,
+            distant_inv_direction=(0.3, 1.0, 0.2),
+            max_iters=256,
+        )
+        o, d, pids = _rays(64)
+        stream = jnp.uint32(11)
+        return med, p, o, d, pids, stream
+
+    def test_record_forward_is_bitwise_the_production_forward(self):
+        from volume_path_tracer_tpu.diff.prb import _trace_rays_record
+
+        med, p, o, d, pids, stream = self._scene()
+        L_ref, _, _ = trace_rays(med, p, None, o, d, pids, stream)
+        L_rec, tf = _trace_rays_record(med, p, None, o, d, pids, stream, 8)
+        np.testing.assert_array_equal(np.asarray(L_ref), np.asarray(L_rec))
+        tfn = np.asarray(tf)
+        # Residual encoding: positives are transmittances in (0, 1] * RR
+        # boosts (bounded by 1/0.25 per boost, so finite); negatives are
+        # integer draw counters within the cap; at least one walk recorded.
+        assert (tfn != 0).any()
+        neg = -tfn[tfn < 0]
+        np.testing.assert_array_equal(neg, np.round(neg))
+        assert (neg <= p.max_iters).all()
+        assert np.isfinite(tfn).all()
+
+    def test_saved_replay_equals_pre_grad_fallback(self):
+        from volume_path_tracer_tpu.diff.prb import _trace_rays_record
+
+        med, p, o, d, pids, stream = self._scene()
+        L, tf = _trace_rays_record(med, p, None, o, d, pids, stream, 8)
+        g_vec = jnp.ones((64, 3), jnp.float32)
+        dd_saved, _ = replay_grads(
+            med, p, None, o, d, pids, stream, L, g_vec, tf=tf
+        )
+        dd_fallback, _ = replay_grads(
+            med, p, None, o, d, pids, stream, L, g_vec, tf=None
+        )
+        np.testing.assert_allclose(
+            np.asarray(dd_saved), np.asarray(dd_fallback),
+            rtol=2e-4, atol=1e-6,
+        )
+
+    def test_slot_overflow_falls_back_per_walk(self):
+        """K=1 residual slot: every walk past the first replays PRE+GRAD;
+        the gradient must still match the all-fallback replay."""
+        from volume_path_tracer_tpu.diff.prb import _trace_rays_record
+
+        med, p, o, d, pids, stream = self._scene()
+        L, tf1 = _trace_rays_record(med, p, None, o, d, pids, stream, 1)
+        g_vec = jnp.ones((64, 3), jnp.float32)
+        dd_k1, _ = replay_grads(
+            med, p, None, o, d, pids, stream, L, g_vec, tf=tf1
+        )
+        dd_fb, _ = replay_grads(
+            med, p, None, o, d, pids, stream, L, g_vec, tf=None
+        )
+        np.testing.assert_allclose(
+            np.asarray(dd_k1), np.asarray(dd_fb), rtol=2e-4, atol=1e-6
+        )

@@ -80,6 +80,9 @@ _LOOKAHEAD = 1e-3  # voxel units, mirrors the reference's t+1.0001 re-derive ide
 # extra collisions (smaj - bmaj) * sigma_t * 64 * voxel are below this
 # threshold — for smooth density (smaj ~ bmaj) that's 8x fewer crossings at
 # the same collision rate. 0.0 recovers the empty-superbrick-only policy.
+# This module-level value is the default for IntegratorParams.super_tau
+# (tunable per scene; any value is unbiased — it only moves the
+# crossings-vs-null-collisions tradeoff).
 _SUPER_TAU = 4.0
 
 
@@ -110,6 +113,9 @@ class IntegratorParams:
     distant_inv_direction: Tuple[float, float, float]
     max_depth: int
     max_iters: int = 8192
+    # Superbrick-opportunism threshold (see _SUPER_TAU): per-scene tunable,
+    # unbiased at any value.
+    super_tau: float = _SUPER_TAU
 
     @property
     def sigma_t(self) -> float:
@@ -309,7 +315,7 @@ def make_traversal(medium: Medium, params: IntegratorParams):
         # looser) majorant costs fewer expected extra collisions than the
         # brick crossings it saves (see _SUPER_TAU).
         extra = (smaj - bmaj) * sigma_t * float(BRICK * SUPER) * voxel
-        use_super = extra <= _SUPER_TAU
+        use_super = extra <= params.super_tau
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
         cell_lo = jnp.floor(lp / cell_sz[:, None]) * cell_sz[:, None] + O
         cell_hi = cell_lo + cell_sz[:, None]

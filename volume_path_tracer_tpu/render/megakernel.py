@@ -259,7 +259,7 @@ def make_kernel(medium: Medium, params: IntegratorParams, emission_on: bool):
         # segment derivation for fetch lanes (from the lookahead point);
         # opportunistic superbrick segments (integrator._SUPER_TAU policy)
         extra = (smaj - bmaj) * sigma_t * float(BRICK * SUPER) * voxel
-        use_super = extra <= _SUPER_TAU
+        use_super = extra <= params.super_tau
         cell_sz = jnp.where(use_super, float(BRICK * SUPER), float(BRICK))
         inv_cs = 1.0 / cell_sz
         clx = jnp.floor(fe["lpx"] * inv_cs) * cell_sz + Ox
