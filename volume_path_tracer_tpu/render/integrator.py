@@ -82,8 +82,12 @@ _LOOKAHEAD = 1e-3  # voxel units, mirrors the reference's t+1.0001 re-derive ide
 # the same collision rate. 0.0 recovers the empty-superbrick-only policy.
 # This module-level value is the default for IntegratorParams.super_tau
 # (tunable per scene; any value is unbiased — it only moves the
-# crossings-vs-null-collisions tradeoff).
-_SUPER_TAU = 4.0
+# crossings-vs-null-collisions tradeoff). Round-4 sweep across all three
+# bench scenes (scratch/r4_tau_sweep.py): 8.0 is neutral on the flagship
+# (3.777 vs 3.772 M rays/s) and fire (2.753 vs 2.735) and +7% on the 512^3
+# big_cloud (0.803 vs 0.748) whose noisy occupancy makes brick crossings
+# the dominant lane-step; the optimum is flat from 8 to 32.
+_SUPER_TAU = 8.0
 
 
 def emission_enabled(medium: Medium, params: "IntegratorParams") -> bool:
