@@ -255,6 +255,18 @@ def bench_full():
     )
     out["fire_aligned_fused_rays_per_s"] = round(rays, 1)
 
+    # --- fire_lowscattering.json transport (the reference's third scene:
+    # sigma_s=0.09 -> near-single-scattering emissive paths) on the same
+    # plume; same per-scene path selection as the fire rows. ---
+    import dataclasses
+
+    low = dataclasses.replace(
+        _fire_params(max_iters=4096), sigma_s=0.09, max_depth=1_000_000
+    )
+    rays, ncap, _ = _render_throughput(med, cam, low, 256, 256, 8, bb=bb, reps=2)
+    out["fire_lowscattering_rays_per_s"] = round(rays, 1)
+    out["fire_lowscattering_capped_lanes"] = ncap
+
     # --- forward+backward (replay VJP) train-step throughput ---
     import optax
 

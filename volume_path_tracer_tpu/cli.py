@@ -112,6 +112,12 @@ def main(argv=None):
     n_dev = len(jax.devices())
     mesh = None
     if (args.mesh or n_dev) > 1 and args.mesh != 1:
+        if args.mesh is not None and args.mesh > n_dev:
+            vlog.fatal(
+                f"--mesh {args.mesh} exceeds the {n_dev} visible device(s) "
+                f"(hint: XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"exposes N virtual CPU devices)"
+            )
         from .parallel.shard import make_mesh
 
         mesh = make_mesh(args.mesh or n_dev)
