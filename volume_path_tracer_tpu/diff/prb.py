@@ -56,7 +56,7 @@ is the inverse-rendering capability mandated by BASELINE.json config 4).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
