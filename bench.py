@@ -329,6 +329,7 @@ def _verify_scene(out, tag, medium, camera, params, bb=None):
     from volume_path_tracer_tpu.render.megakernel import trace_rays_fused
 
     images = {}
+    lane_images = {}
     for name, tracer in (("xla", trace_rays), ("fused", trace_rays_fused)):
         rays, _, times = _render_throughput(
             medium, camera, params, 256, 256, 4, bb=bb, tracer=tracer, reps=2
@@ -337,11 +338,22 @@ def _verify_scene(out, tag, medium, camera, params, bb=None):
         ys, xs = np.mgrid[0:256, 0:256]
         raster = jnp.asarray(np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
         pids = jnp.arange(256 * 256, dtype=jnp.int32)
-        L, _, _ = wave_jit(medium, camera, raster, pids, jnp.asarray([10, 1], jnp.uint32))
-        images[name] = np.asarray(L)
+        # Lane agreement compares ONE wave draw-for-draw; the mean-bias gate
+        # compares 8-wave averages (a knife-edge event flip re-rolls a lane's
+        # sample, so the single-wave mean difference is Monte-Carlo noise
+        # that shrinks with spp — at 1 spp it can exceed the 1e-3 gate).
+        acc = None
+        for w in range(1, 9):
+            L, _, _ = wave_jit(
+                medium, camera, raster, pids, jnp.asarray([10, w], jnp.uint32)
+            )
+            if w == 1:
+                lane_images[name] = np.asarray(L)
+            acc = L if acc is None else acc + L
+        images[name] = np.asarray(acc) / 8.0
         out[f"{tag}{name}_rays_per_s"] = round(rays, 1)
         out[f"{tag}{name}_pass_times_s"] = times
-    a, b = images["xla"], images["fused"]
+    a, b = lane_images["xla"], lane_images["fused"]
     # Bitwise equality is the wrong metric on hardware: XLA and Mosaic lower
     # log1p/sin/cos with ulp-level differences, so nearly every multi-bounce
     # lane differs in the last bits. Lane agreement = isclose; knife-edge
@@ -352,7 +364,8 @@ def _verify_scene(out, tag, medium, camera, params, bb=None):
     lane_bitwise = float(np.mean(np.all(a == b, axis=-1)))
     close_mask = np.isclose(a, b, rtol=1e-3, atol=1e-4).all(-1)
     lane_close = float(np.mean(close_mask))
-    rel_mean = abs(a.mean() - b.mean()) / max(abs(a.mean()), 1e-9)
+    am, bm = images["xla"], images["fused"]
+    rel_mean = abs(am.mean() - bm.mean()) / max(abs(am.mean()), 1e-9)
     out[f"{tag}lane_bitwise_fraction"] = round(lane_bitwise, 4)
     out[f"{tag}lane_close_fraction"] = round(lane_close, 4)
     out[f"{tag}mean_rel_diff"] = round(float(rel_mean), 6)
