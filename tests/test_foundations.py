@@ -120,6 +120,12 @@ class TestColor:
         assert (img[0, 0] > 250).all()
         assert (img[1, 1] == 0).all()
 
+    def test_film_tonemap_zero_weight_is_black(self):
+        # A fresh film mid-wave has weight-0 pixels; they must tonemap to
+        # black, not NaN->u8 garbage (first-wave live preview).
+        img = np.asarray(color.film_to_srgb_u8(jnp.zeros((2, 2, 4))))
+        assert (img == 0).all()
+
 
 # ---------------- spectral ----------------
 class TestSpectral:

@@ -250,3 +250,19 @@ class TestCollectiveStructure:
             assert census[kind] == 0, census
         # grid-gradient psum + (sq, n) loss psum; XLA may fuse or split.
         assert 1 <= census["all-reduce"] <= 4, census
+
+
+def test_padding_sentinel_is_npix_in_both_batch_builders():
+    """shard.pad_ray_batch and multihost.make_global_ray_batch must pad pixel
+    ids with the same OUT-OF-IMAGE sentinel `npix` — a real pixel's id in the
+    padding would double-count under any future pid-keyed film scatter."""
+    from volume_path_tracer_tpu.parallel import multihost
+    from volume_path_tracer_tpu.parallel.shard import pad_ray_batch
+
+    W, H = 5, 3  # 15 pixels: pads on both the 8-way axis and n_align=8
+    _, pids_a, npix = pad_ray_batch(W, H, n_align=8)
+    assert npix == 15 and list(pids_a[npix:]) == [npix]
+    mesh = make_mesh(8, spp=2)
+    _, pids_g, npix_g = multihost.make_global_ray_batch(mesh, W, H)
+    assert npix_g == npix
+    assert list(np.asarray(pids_g)[npix:]) == [npix]

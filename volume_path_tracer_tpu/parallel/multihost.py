@@ -75,8 +75,11 @@ def make_global_ray_batch(
     raster = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32)
     pids = np.arange(npix, dtype=np.int32)
     if pad:
+        # Same padding sentinel as shard.pad_ray_batch: the OUT-OF-IMAGE id
+        # `npix`, never a real pixel's id — a future pid-keyed film scatter
+        # must not double-count the last pixel on the multihost path.
         raster = np.concatenate([raster, np.zeros((pad, 2), np.int32)])
-        pids = np.concatenate([pids, np.full((pad,), npix - 1, np.int32)])
+        pids = np.concatenate([pids, np.full((pad,), npix, np.int32)])
     raster_sh = NamedSharding(mesh, P("rays", None))
     pids_sh = NamedSharding(mesh, P("rays"))
     # Every process computes the FULL batch (it is cheap and deterministic);

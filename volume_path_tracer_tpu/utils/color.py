@@ -49,8 +49,14 @@ def film_to_srgb_u8(film: jnp.ndarray) -> jnp.ndarray:
     Matches main.cpp:12-24: divide accumulated XYZ by the sample weight,
     convert to linear sRGB, gamma encode, clamp to [0, 1], scale to 255 and
     truncate (C-style float->u8 cast truncates toward zero).
+
+    Pixels with zero weight (mid-wave previews before any sample landed)
+    tonemap to black: the weight is floored at a tiny positive value so
+    0/0 never produces NaN (NaN->u8 casting is implementation-defined and
+    garbled the live preview during wave 1). Any real weight is >= 1, so
+    the floor never changes a rendered pixel.
     """
-    xyz = film[..., :3] / film[..., 3:4]
+    xyz = film[..., :3] / jnp.maximum(film[..., 3:4], 1e-30)
     srgb = linsrgb_to_srgb(xyz_to_linsrgb(xyz))
     return (jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
