@@ -81,35 +81,45 @@ def main():
     raster, pids, npix = multihost.make_global_ray_batch(mesh, W, H)
 
     # warmup
-    contrib, _, _ = render_wave_sharded(
-        mesh, medium, params, camera, None, raster, pids, 10, 0, True
+    contrib, _, _, _ = render_wave_sharded(
+        mesh, medium, params, camera, None, raster, pids, 10, 0, True,
+        return_lane_iters=True,
     )
     jax.block_until_ready(contrib)
 
     t0 = time.perf_counter()
     film = None
     iters_tot = None
+    lane_tot = None
     for w in range(1, args.waves + 1):
-        contrib, _, iters = render_wave_sharded(
-            mesh, medium, params, camera, None, raster, pids, 10, w, True
+        contrib, _, iters, lane_iters = render_wave_sharded(
+            mesh, medium, params, camera, None, raster, pids, 10, w, True,
+            return_lane_iters=True,
         )
         film = contrib if film is None else film + contrib
         iters_tot = iters if iters_tot is None else iters_tot + iters
+        lane_tot = lane_iters if lane_tot is None else lane_tot + lane_iters
     jax.block_until_ready(film)
     dt = time.perf_counter() - t0
     spp_per_wave = mesh.shape["spp"]
     rays = npix * args.waves * spp_per_wave
     if jax.process_index() == 0:
         n_dev = mesh.devices.size
-        # Per-device wavefront iterations/s: the contention-honest work-rate
-        # metric (each device's while-loop trips over its own shard; rays/s
-        # on a shared-core host measures contention, not scaling).
+        # Two work metrics (MULTIHOST.md): lane-iterations/wave is a PURE
+        # COUNT, identical across mesh topologies by construction (each
+        # lane's path length is fixed by its counter-keyed draws) — the
+        # contention-free evidence that no work is duplicated or skipped.
+        # The rays/s and iters/s columns are wall-clock rates: on a
+        # shared-core host they measure CPU contention, not chip scaling.
         it_tot = int(iters_tot)
+        lane_it = int(lane_tot)
         print(
             f"[multihost] {rays/1e6:.1f}M rays in {dt:.2f}s: "
             f"{rays/dt/1e6:.2f}M rays/s total, "
             f"{rays/dt/n_dev/1e6:.3f}M rays/s/chip over {n_dev} chips, "
-            f"{it_tot} device-iterations, {it_tot/dt/n_dev:.1f} iters/s/device"
+            f"{it_tot} device-iterations, "
+            f"{lane_it // args.waves} lane-iterations/wave (topology-invariant), "
+            f"{it_tot/dt/n_dev:.1f} iters/s/device (contention-bound)"
         )
     # gather_film_to_host runs an XLA all-gather when the film is cross-host
     # sharded: EVERY process must call it (a process-0-only call deadlocks
@@ -216,14 +226,20 @@ def main():
         if mesh.devices.size > 1:
             pad = (-t_pids.shape[0]) % mesh.shape["rays"]
             if pad:
+                # Training pads duplicate pixel 0 (raster, pid AND target):
+                # every padded lane contributes a VALID loss term for pixel 0
+                # (slightly up-weighting it) instead of a bogus ray-vs-zero
+                # residual. (The film path pads with the out-of-image
+                # sentinel `npix` instead — shard.pad_ray_batch — because
+                # film lanes are sliced off, not summed into a loss.)
                 t_raster = jnp.concatenate(
-                    [t_raster, jnp.zeros((pad, 2), jnp.int32)]
+                    [t_raster, jnp.tile(t_raster[:1], (pad, 1))]
                 )
                 t_pids = jnp.concatenate(
-                    [t_pids, jnp.full((pad,), Wt * Ht - 1, jnp.int32)]
+                    [t_pids, jnp.zeros((pad,), jnp.int32)]
                 )
                 target_px = jnp.concatenate(
-                    [target_px, jnp.zeros((pad, 3), jnp.float32)]
+                    [target_px, jnp.tile(target_px[:1], (pad, 1))]
                 )
 
         t0 = time.perf_counter()

@@ -187,3 +187,114 @@ class TestInverseRendering:
         assert proj_corr > 0.55, proj_corr
         vox_corr = np.corrcoef(rec.reshape(-1), target_rho.reshape(-1))[0, 1]
         assert vox_corr > 0.3, vox_corr
+
+
+class TestJointDensityTemperature:
+    def test_joint_recovery_sharded(self):
+        """Joint density+temperature optimization on the 8-device mesh — the
+        north star's config-5 capability (BASELINE.json): recover a perturbed
+        emission temperature while density is simultaneously free, with the
+        temperature-gradient psum exercised through the sharded train step.
+        Ref: worker.cpp:152-157 (the emission whose inverse this closes).
+        """
+        from volume_path_tracer_tpu.diff.inverse import (
+            OptimizableGrids, make_train_step, param_from_density,
+        )
+        from volume_path_tracer_tpu.parallel.shard import make_mesh
+        from volume_path_tracer_tpu.render.integrator import trace_rays
+
+        n = 8
+        i = np.arange(n) - (n - 1) / 2
+        x, y, z = np.meshgrid(i, i, i, indexing="ij")
+        r2 = x**2 + y**2 + z**2
+        rho_true = (np.exp(-r2 / 6.0) * 0.8).astype(np.float32)
+        # plume-like temperature: hot core on a warm background, NARROW
+        # contrast (T_K 1.1-1.3 kK): blackbody radiance is exponential in T,
+        # so a wide contrast makes per-sample radiance span decades and the
+        # MSE noise floor swamps the optimization signal at test-sized
+        # batches
+        temp_true = (20.0 + 5.0 * np.exp(-r2 / 5.0)).astype(np.float32)
+        med_true = Medium.from_grids(
+            dense_grid_from_array(rho_true), dense_grid_from_array(temp_true),
+            pack=False,
+        )
+        bb = jnp.asarray(blackbody_xyz_table())
+        params = _params(
+            sigma_a=0.4, le_scale=5e-4, infinite_multiplier=0.2, max_iters=192
+        )
+
+        W = H = 16
+        camera = Camera.from_parameters(
+            CameraParameters((21.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                             42.0, 1.0),
+            (W, H),
+        )
+        ys, xs = np.mgrid[0:H, 0:W]
+        raster = jnp.asarray(
+            np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.int32))
+        pids = jnp.arange(W * H, dtype=jnp.int32)
+
+        target_px = 0
+        for w in range(8):
+            stream = vrng.mix_stream(9, 100 + w)
+            u = vrng.counter_uniforms(pids, stream, jnp.int32(2**31 - 1), 2)
+            o_w, d_w = camera.generate_rays(raster, u * 0.5)
+            L, _, _ = trace_rays(med_true, params, bb, o_w, d_w, pids, stream)
+            target_px = target_px + L
+        target_px = target_px / 8
+
+        # start: true density, flat (background) temperature — both optimized
+        temp0 = np.full((n, n, n), 20.0, np.float32)
+        base_med = Medium.from_grids(
+            dense_grid_from_array(rho_true), dense_grid_from_array(temp0),
+            pack=False,
+        )
+        grids = OptimizableGrids(
+            log_density=param_from_density(jnp.asarray(rho_true)),
+            temperature=jnp.asarray(temp0),
+        )
+        # Per-parameter learning rates: density starts at truth (small lr
+        # keeps it from chasing Monte-Carlo noise); temperature must travel.
+        label = OptimizableGrids(log_density="dens", temperature="temp")
+        optimizer = optax.multi_transform(
+            {"dens": optax.adam(0.02), "temp": optax.adam(0.3)}, label)
+        opt_state = optimizer.init(grids)
+        # dual_buffer: the plain k-sample MSE's Var/k term biases emissive
+        # optimization (blackbody variance grows steeply with T); the
+        # dual-buffer loss is an unbiased gradient of the true MSE.
+        step = make_train_step(
+            base_med, params, camera, bb, optimizer, n_iters=192,
+            use_jitter=True, mesh=make_mesh(8, spp=2), samples_per_step=4,
+            dual_buffer=True,
+        )
+
+        # The observable is DENSITY-WEIGHTED temperature: emission is
+        # p_a * bb(T) with p_a ~ rho (worker.cpp:148-157), so voxels with
+        # rho ~ 0 emit nothing and their temperature is unconstrained by any
+        # image — error metrics must weight by density.
+        wgt = rho_true / rho_true.sum()
+
+        def werr(t):
+            return float((wgt * np.abs(t - temp_true)).sum())
+
+        err0 = werr(temp0)
+        losses = []
+        for it in range(12):
+            sw = jnp.asarray([9, it + 1], jnp.uint32)
+            grids, opt_state, loss = step(
+                grids, opt_state, raster, pids, target_px, sw)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all(), losses
+        head, tail = np.mean(losses[:3]), np.mean(losses[-3:])
+        assert tail < head * 0.5, losses
+        rec = np.asarray(grids.temperature)
+        err = werr(rec)
+        assert err < err0 * 0.6, (err, err0)
+        # the recovered field must be plume-SHAPED where it is observable
+        w = wgt.reshape(-1)
+        a, b = rec.reshape(-1), temp_true.reshape(-1)
+        am, bm = (w * a).sum(), (w * b).sum()
+        wcorr = ((w * (a - am) * (b - bm)).sum()
+                 / np.sqrt((w * (a - am) ** 2).sum()
+                           * (w * (b - bm) ** 2).sum()))
+        assert wcorr > 0.5, wcorr

@@ -268,3 +268,87 @@ class TestSavedWalkResiduals:
         np.testing.assert_allclose(
             np.asarray(dd_k1), np.asarray(dd_fb), rtol=2e-4, atol=1e-6
         )
+
+
+class TestCompactScatterFitting:
+    """compact_scatter_fitting must add exactly the nz-masked payload rows
+    whenever payload_fits says so; payload_fits must be False (so the replay
+    routes to direct_scatter) whenever the two-level capacity would drop
+    entries."""
+
+    def _direct(self, table, rows, vals, nz):
+        return table.at[rows].add(jnp.where(nz[:, None], vals, 0.0))
+
+    def _run(self, K, p_nz, seed=0, R=512, expect_fits=None, atol=1e-6):
+        from volume_path_tracer_tpu.diff.prb import (
+            compact_scatter_fitting, payload_fits,
+        )
+
+        rng = np.random.default_rng(seed)
+        rows = jnp.asarray(rng.integers(0, R, K, dtype=np.int32))
+        vals = jnp.asarray(rng.standard_normal((K, 8)).astype(np.float32))
+        nz = jnp.asarray(rng.random(K) < p_nz)
+        fits = bool(payload_fits(nz))
+        if expect_fits is not None:
+            assert fits == expect_fits, (fits, expect_fits)
+        if not fits:
+            return
+        table = jnp.zeros((R, 8), jnp.float32)
+        got = compact_scatter_fitting(table, rows, vals, nz)
+        want = self._direct(table, rows, vals, nz)
+        # Only scatter-add ORDER differs between the two -> fp tolerance.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=atol)
+
+    def test_sparse_payload_fits_and_is_exact(self):
+        # ~30% occupancy: level-1 leftovers tiny, level 2 absorbs them.
+        self._run(K=8192, p_nz=0.3, expect_fits=True)
+
+    def test_moderate_payload_fits_via_level2(self):
+        self._run(K=8192, p_nz=0.5)
+
+    def test_dense_payload_reports_misfit(self):
+        self._run(K=8192, p_nz=0.9, expect_fits=False)
+
+    def test_aliased_rows(self):
+        # All payload rows target 3 table rows: heavy scatter aliasing —
+        # ~2700 standard normals summed per cell in data-dependent order, so
+        # the tolerance is the fp-reassociation envelope, not 1e-6.
+        self._run(K=8192, p_nz=0.3, R=3, atol=1e-4)
+
+    def test_small_and_ragged_widths_fit_trivially(self):
+        # below _COMPACT_MIN_WIDTH / not a superblock multiple: the direct
+        # path inside compact_scatter_fitting, exact at ANY occupancy
+        self._run(K=640, p_nz=0.95, expect_fits=True)
+        self._run(K=4100, p_nz=0.95, expect_fits=True)
+
+    def test_empty_and_capacity_boundary(self):
+        from volume_path_tracer_tpu.diff.prb import (
+            compact_scatter_fitting, payload_fits,
+        )
+
+        K = 4096
+        rows = jnp.zeros((K,), jnp.int32)
+        vals = jnp.ones((K, 8), jnp.float32)
+        # all-False: fits, nothing added
+        nz0 = jnp.zeros((K,), bool)
+        assert bool(payload_fits(nz0))
+        out = compact_scatter_fitting(jnp.zeros((4, 8)), rows, vals, nz0)
+        assert float(jnp.abs(out).max()) == 0.0
+        # exactly the full two-level capacity per superblock: the strided
+        # block of entry k is k % 32 (K=4096 -> B=32); fill blocks 0..15
+        # (superblock 0) so each holds cap1 + cap2/16 nonzero entries ->
+        # leftovers exactly fill cap2: still fits, still exact
+        from volume_path_tracer_tpu.diff.prb import _SCATTER_CAP1, _SCATTER_CAP2
+
+        B = 32
+        blk = jnp.arange(K) % B
+        slot = jnp.arange(K) // B
+        per_blk = _SCATTER_CAP1 + _SCATTER_CAP2 // 16
+        nz1 = (blk < 16) & (slot < per_blk)
+        assert bool(payload_fits(nz1))
+        out = compact_scatter_fitting(jnp.zeros((4, 8)), rows, vals, nz1)
+        np.testing.assert_allclose(np.asarray(out)[0], float(jnp.sum(nz1)))
+        # one more leftover in superblock 0 -> misfit
+        nz2 = nz1 | ((blk == 0) & (slot == per_blk))
+        assert not bool(payload_fits(nz2))

@@ -266,3 +266,39 @@ def test_padding_sentinel_is_npix_in_both_batch_builders():
     _, pids_g, npix_g = multihost.make_global_ray_batch(mesh, W, H)
     assert npix_g == npix
     assert list(np.asarray(pids_g)[npix:]) == [npix]
+
+
+def test_lane_iterations_topology_invariant():
+    """Lane-iterations (sum of per-lane alive iterations) is a pure work
+    count: every lane's path length is fixed by its counter-keyed draws, so
+    the count must be IDENTICAL on a single device, an 8x1 mesh, and a 4x2
+    mesh — duplicated or skipped work would show directly (MULTIHOST.md's
+    contention-free scaling metric)."""
+    from volume_path_tracer_tpu.parallel.shard import pad_ray_batch
+    from volume_path_tracer_tpu.utils import rng as vrng
+
+    medium, camera, params, W, H = _scene()
+    raster_np, pids_np, npix = pad_ray_batch(W, H, 8)
+    counts = {}
+    for name, mesh in (("8x1", make_mesh(8, spp=1)), ("4x2", make_mesh(8, spp=2))):
+        raster = jax.device_put(jnp.asarray(raster_np))
+        pids = jax.device_put(jnp.asarray(pids_np))
+        _, _, _, lane_it = render_wave_sharded(
+            mesh, medium, params, camera, None, raster, pids, 7, 2, True,
+            return_lane_iters=True,
+        )
+        counts[name] = int(lane_it)
+    # single-device reference, per global wave of each spp layout
+    def single(global_wave):
+        stream = vrng.mix_stream(7, global_wave)
+        u = vrng.counter_uniforms(jnp.asarray(pids_np), stream,
+                                  jnp.int32(2**31 - 1), 2)
+        o_w, d_w = camera.generate_rays(jnp.asarray(raster_np), u * 0.5)
+        _, _, _, lane_it = trace_rays(
+            medium, params, None, o_w, d_w, jnp.asarray(pids_np), stream,
+            return_lane_iters=True,
+        )
+        return int(lane_it)
+
+    assert counts["8x1"] == single(2), counts
+    assert counts["4x2"] == single(4) + single(5), counts

@@ -132,6 +132,7 @@ def make_render_loss(
     samples_per_step: int = 4,
     use_prb: bool = True,
     pack: bool = False,
+    dual_buffer: bool = False,
 ):
     """loss(grids, raster, pids, target_px, seed_wave) -> (sum_sq, n) per batch.
 
@@ -140,6 +141,17 @@ def make_render_loss(
     of a 1-spp Monte Carlo render is dominated by irreducible sampling
     variance, so averaging k samples per step cuts the noise floor k-fold and
     makes the optimization signal visible.
+
+    dual_buffer=True (requires k >= 2) splits the k samples into two
+    independent half-buffers A, B and uses sum((A-t)*(B-t)) instead of
+    sum((mean-t)^2). The plain MSE of a k-sample Monte Carlo render is
+    E[(mean_k - t)^2] = (E-t)^2 + Var/k, and the Var/k term's gradient
+    BIASES the optimization toward low-variance (not correct) parameters —
+    visibly so for blackbody emission, whose variance grows steeply with
+    temperature. A and B are independent, so E[(A-t)(B-t)] = (E-t)^2
+    exactly: the dual-buffer gradient is an unbiased estimator of the true
+    MSE gradient (the standard dual-buffer trick of differentiable
+    rendering).
 
     use_prb=True (default) differentiates through the replay custom VJP
     (diff/prb.py): O(1) backward memory, full-speed forward while_loop, and
@@ -151,6 +163,8 @@ def make_render_loss(
     target_px: [N, 3] target film XYZ (already imaging_ratio-scaled means).
     """
     k = samples_per_step
+    if dual_buffer and k < 2:
+        raise ValueError("dual_buffer needs samples_per_step >= 2")
     if use_prb:
         # The replay truncates at params.max_iters; mirror the scan bound.
         params = dataclasses.replace(params, max_iters=n_iters)
@@ -173,9 +187,15 @@ def make_render_loss(
             L = trace_rays_diff(
                 medium, params, bb_table, o_w, d_w, pids_k, stream_k, n_iters
             )
-        px = camera.imaging_ratio * jnp.mean(L.reshape(k, N, 3), axis=0)
-        sq = jnp.sum((px - target_px) ** 2)
-        return sq, jnp.float32(px.size)
+        Lk = camera.imaging_ratio * L.reshape(k, N, 3)
+        if dual_buffer:
+            a = jnp.mean(Lk[: k // 2], axis=0) - target_px
+            b = jnp.mean(Lk[k // 2 :], axis=0) - target_px
+            sq = jnp.sum(a * b)
+        else:
+            px = jnp.mean(Lk, axis=0)
+            sq = jnp.sum((px - target_px) ** 2)
+        return sq, jnp.float32(N * 3)
 
     return loss_fn
 
@@ -192,21 +212,34 @@ def make_train_step(
     samples_per_step: int = 4,
     use_prb: bool = True,
     pack: bool = False,
+    dual_buffer: bool = False,
 ):
     """Build a jitted train step.
 
     Single-device: step(grids, opt_state, raster, pids, target, seed_wave).
     With a mesh: rays are sharded over 'rays' (and waves over 'spp'), grid
-    gradients psum'd over both axes inside shard_map.
+    gradients psum'd over both axes inside shard_map. dual_buffer: see
+    make_render_loss (unbiased MSE gradient; recommended for emissive
+    media, whose sample variance grows steeply with temperature).
     """
     loss_fn = make_render_loss(
         base_medium, params, camera, bb_table, n_iters, use_jitter,
         samples_per_step=samples_per_step, use_prb=use_prb, pack=pack,
+        dual_buffer=dual_buffer,
     )
+
+    # The PRB replay's pending-payload scatter loop (diff/prb.py) nests
+    # while loops; XLA's while-loop-fusible-sinking pass then fails an
+    # internal RET_CHECK (hlo_computation.cc ReplaceInstruction shape
+    # mismatch: it appends sunk operands to the outer while's carry tuple)
+    # when compiling for TPU. Disable that one pass for the train step —
+    # measured neutral on step time (the replay is scatter/gather-bound,
+    # not constant-sinking-bound).
+    _opts = {"xla_disable_hlo_passes": "while-loop-fusible-sinking"}
 
     if mesh is None:
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=_opts)
         def train_step(grids, opt_state, raster, pids, target_px, seed_wave):
             (sq, n), grads = jax.value_and_grad(
                 lambda g: loss_fn(g, raster, pids, target_px, seed_wave),
@@ -244,7 +277,7 @@ def make_train_step(
         tot = jax.lax.psum(jnp.stack([sq, n]), ("rays", "spp"))
         return grads, tot
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=_opts)
     def train_step(grids, opt_state, raster, pids, target_px, seed_wave):
         grads, tot = grad_shard(grids, raster, pids, target_px, seed_wave)
         n = tot[1]

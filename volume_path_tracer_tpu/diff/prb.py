@@ -153,15 +153,156 @@ def fold_corner_rows(rows: jnp.ndarray, shape) -> jnp.ndarray:
     return out
 
 
+# --- compacted gradient scatter ---------------------------------------------
+# The TPU scatter engine costs ~40 ns per ISSUED row regardless of the row's
+# value — zero-valued rows are not free — while the gather engine costs
+# ~4.2 ns/row (PERF.md sections 4b/4d). Only ~45-55% of compacted replay
+# lanes carry a nonzero gradient event per iteration, so dropping the zero
+# rows before the scatter is a large row reduction on a pass that is ~60%
+# scatter. Three measured dead ends shape this design
+# (scratch/r5_compact_micro*.py):
+#   1. exact front-compaction of a [K] mask needs a K-element scatter
+#      (~15.6 ns/element: breaks even) or a sort (~ms at these widths);
+#   2. lax.cond per iteration is useless — inside the replay while_loop XLA
+#      executes BOTH branches and selects (measured: identical time
+#      whichever branch "wins"), so a conditional full-width fallback costs
+#      the full width every iteration;
+#   3. a global fallback triggered by ANY overfull block fires essentially
+#      always (1024 blocks, spatially-correlated events).
+# Design: a fixed-capacity TWO-LEVEL compaction with no conditionals —
+# level 1 compacts each strided 128-entry block to 64 slots with an exact
+# one-hot rank matmul (ranks < 128, one product per output: exact in f32),
+# level 2 compacts the leftovers (rank >= 64) per 2048-entry superblock to
+# 128 slots. Rows issued: 0.5625*K, measured 0.665x the direct scatter
+# including mechanics. Payloads that exceed the two-level capacity
+# (`payload_fits` False — the ~10-iteration burst where the whole wavefront
+# crosses into the cloud) must NOT use it: the replay loop carries the
+# pending payload, checks fits in its while-loop CONDITION, and scatters a
+# misfitting payload directly after the loop exits — a conditional in the
+# loop condition costs nothing, unlike one in the body (dead end 2).
+_SCATTER_BLOCK = 128
+_SCATTER_CAP1 = 56
+_SCATTER_SUPER = 2048  # 16 level-1 blocks
+_SCATTER_CAP2 = 192
+# Cap choice: the r5 on-chip sweep over (cap1, cap2) on the k=8 train step
+# — (56,192) 278.2 ms, (64,128) 279.8, (48,256) 279.5, (72,192) 285.9,
+# (80,160) 288.7, (96,128) 297.0 — a flat optimum around capacity ~0.5 with
+# a generous level-2 for the post-compaction occupancy spikes.
+# Below this payload width the fixed compaction overhead is not worth the
+# saved rows; the ladder's tail stages scatter directly.
+_COMPACT_MIN_WIDTH = 4096
+
+
+def _compactable(K: int) -> bool:
+    return K >= _COMPACT_MIN_WIDTH and K % _SCATTER_SUPER == 0
+
+
+def payload_fits(nz, cap1=_SCATTER_CAP1, cap2=_SCATTER_CAP2) -> jnp.ndarray:
+    """True iff compact_scatter_fitting(cap1, cap2) is exact for this payload.
+
+    Small/ragged payloads "fit" trivially (they scatter directly inside
+    compact_scatter_fitting); otherwise every 2048-entry superblock's
+    leftover count beyond the level-1 caps must fit the level-2 cap
+    (cap2=0: no level 2, every strided block must fit cap1 alone).
+    """
+    K = nz.shape[0]
+    if not _compactable(K):
+        return jnp.asarray(True)
+    B = K // _SCATTER_BLOCK
+    cnt = jnp.sum(nz.reshape(_SCATTER_BLOCK, B).T.astype(jnp.int32), axis=1)
+    if cap2 == 0:
+        return jnp.max(cnt) <= cap1
+    left = jnp.maximum(cnt - cap1, 0)
+    per_super = left.reshape(K // _SCATTER_SUPER, -1).sum(axis=1)
+    return jnp.max(per_super) <= cap2
+
+
+def direct_scatter(table, rows, vals, nz):
+    """The plain full-width scatter: K issued rows, always exact."""
+    return table.at[rows].add(jnp.where(nz[:, None], vals, 0.0))
+
+
+def compact_scatter_fitting(table, rows, vals, nz,
+                            cap1=_SCATTER_CAP1, cap2=_SCATTER_CAP2):
+    """table.at[rows].add(vals masked by nz), issuing (cap1+cap2/16)/128 * K
+    rows (0.5625*K at the default caps).
+
+    rows [K] int32 (in-range), vals [K, C] f32, nz [K] bool — entries with
+    nz False are dropped (the caller's validity x nonzero-weight mask).
+    EXACT ONLY IF payload_fits(nz, cap1, cap2): callers must route
+    misfitting payloads to direct_scatter (see replay_grads' pending-payload
+    loop). Entry k belongs to STRIDED block (k mod B): adjacent lanes'
+    events are spatially correlated, and striding spreads each block's 128
+    probes over the whole wavefront so per-block counts concentrate near
+    the Binomial mean.
+    """
+    K, C = vals.shape
+    if not _compactable(K):
+        return direct_scatter(table, rows, vals, nz)
+    B = K // _SCATTER_BLOCK
+    S = K // _SCATTER_SUPER
+    nzb = nz.reshape(_SCATTER_BLOCK, B).T  # [B, 128], strided blocks
+    pos = jnp.cumsum(nzb.astype(jnp.int32), axis=1) - 1  # rank within block
+    # One payload matrix so each level's selection is ONE row gather; the
+    # row indices ride as a bitcast f32 column (exact round-trip).
+    payload = jnp.concatenate(
+        [vals, jax.lax.bitcast_convert_type(rows, jnp.float32)[:, None]], axis=1
+    )
+    iota_blk = jnp.arange(_SCATTER_BLOCK, dtype=jnp.float32)
+
+    # ---- level 1: first cap1 nonzero entries of each block ----
+    cnt1 = jnp.minimum(pos[:, -1] + 1, cap1)
+    j1 = jnp.arange(cap1, dtype=jnp.int32)
+    # onehot[b, j, i] = (entry i is the j-th nonzero of block b); the rank
+    # matmul is exact in f32 (values 0..127, one product per output).
+    oh1 = (
+        (pos[:, None, :] == j1[None, :, None]) & nzb[:, None, :]
+    ).astype(jnp.float32)
+    src1 = jnp.einsum("bji,i->bj", oh1, iota_blk).astype(jnp.int32)
+    gidx1 = (src1 * B + jnp.arange(B, dtype=jnp.int32)[:, None]).reshape(-1)
+    valid1 = (j1[None, :] < cnt1[:, None]).reshape(-1)
+    sel1 = payload[gidx1]
+    # Empty slots gather their block's entry 0 (a real row): zero their
+    # values so they add nothing instead of double-counting.
+    table = table.at[jax.lax.bitcast_convert_type(sel1[:, C], jnp.int32)].add(
+        jnp.where(valid1[:, None], sel1[:, :C], 0.0)
+    )
+    if cap2 == 0:
+        return table
+
+    # ---- level 2: leftovers (rank >= cap1) per 2048-entry superblock ----
+    nz2 = nzb & (pos >= cap1)  # [B, 128]
+    nz2s = nz2.reshape(S, _SCATTER_SUPER)  # superblock = 16 whole blocks
+    pos2 = jnp.cumsum(nz2s.astype(jnp.int32), axis=1) - 1
+    cnt2 = jnp.minimum(pos2[:, -1] + 1, cap2)
+    j2 = jnp.arange(cap2, dtype=jnp.int32)
+    oh2 = (
+        (pos2[:, None, :] == j2[None, :, None]) & nz2s[:, None, :]
+    ).astype(jnp.float32)
+    src2 = jnp.einsum(
+        "sji,i->sj", oh2, jnp.arange(_SCATTER_SUPER, dtype=jnp.float32)
+    ).astype(jnp.int32)
+    # superblock entry j <-> (block 16*s + j // 128, slot j % 128) <-> the
+    # strided global index (j % 128) * B + block.
+    blk2 = 16 * jnp.arange(S, dtype=jnp.int32)[:, None] + src2 // _SCATTER_BLOCK
+    gidx2 = ((src2 % _SCATTER_BLOCK) * B + blk2).reshape(-1)
+    valid2 = (j2[None, :] < cnt2[:, None]).reshape(-1)
+    sel2 = payload[gidx2]
+    return table.at[jax.lax.bitcast_convert_type(sel2[:, C], jnp.int32)].add(
+        jnp.where(valid2[:, None], sel2[:, :C], 0.0)
+    )
+
+
 def _make_replay_step(
     medium: Medium,
     params: IntegratorParams,
     bb_table,
     k_walks: int = 0,
-    scatter: bool = True,
 ):
-    """One backward-replay iteration: returns step(st, u, gL_tot, g_vec,
-    gd_rows, gt_rows) with gradients accumulated in corner-row layout.
+    """One backward-replay iteration: returns step(st, u, gL_tot, g_vec) ->
+    (st_new, density_payload, temperature_payload_or_None), each payload a
+    (row, vals [N, 8], nz) triple in corner-row layout for the caller to
+    scatter (directly or through compact_scatter_rows).
 
     k_walks > 0 enables the saved-residual fast path: st.tf_row[:, :k_walks]
     carries _trace_rays_record's per-walk residuals and scatter events go
@@ -190,7 +331,7 @@ def _make_replay_step(
 
     traverse = make_traversal(medium, params)
 
-    def step(st: ReplayState, u, gL_tot, g_vec, gd_rows, gt_rows):
+    def step(st: ReplayState, u, gL_tot, g_vec):
         # Truncation parity: forward lanes stop drawing at max_iters.
         trunc = (st.mode != RDONE) & (st.ctr >= params.max_iters)
         mode0 = jnp.where(trunc, RDONE, st.mode)
@@ -419,13 +560,15 @@ def _make_replay_step(
             # Skipped walks jump past the forward walk's consumed draws.
             ctr_new = jnp.where(sv_killed, ce_val, ctr_new)
 
-        # =========== gradient scatter-adds ===========
-        # Row scatter into the CORNER-ROW layout: one [8]-row add per lane
-        # instead of 8 element adds — TPU scatters pay per ROW like gathers
-        # (PERF.md section 4: 12x), and replay_grads folds the row table back
-        # into the [X,Y,Z] grid once at the end. Out-of-grid corners write
-        # into row/column combinations the fold never reads, reproducing the
-        # old per-corner validity masking exactly.
+        # =========== gradient scatter payloads ===========
+        # Row payloads in the CORNER-ROW layout: one [8]-row per lane instead
+        # of 8 element adds — TPU scatters pay per ROW like gathers (PERF.md
+        # section 4: 12x), and replay_grads folds the row table back into the
+        # [X,Y,Z] grid once at the end. Out-of-grid corners write into
+        # row/column combinations the fold never reads, reproducing the old
+        # per-corner validity masking exactly. The caller scatters the
+        # payload (compact_scatter_fitting drops the zero-weight rows when
+        # the payload fits; replay_grads routes misfits to direct_scatter).
         X, Y, Z = dgrid.shape
         i0 = jnp.floor(tr.lp).astype(jnp.int32)
         f = tr.lp - i0.astype(tr.lp.dtype)
@@ -434,23 +577,15 @@ def _make_replay_step(
         w8 = trilinear_weights(f)
         row8, rvalid = corner_row_index((X, Y, Z), i0)
         dweight = demis + score_w + shadow_w  # disjoint lane sets
-        if scatter == "small":  # timing diagnostic: tiny aliased target
-            gd_rows = gd_rows.at[row8 % 1024].add(
-                jnp.where(rvalid[:, None], w8 * dweight[:, None], 0.0)
-            )
-        elif scatter:  # scatter=False: timing-diagnostic builds only
-            gd_rows = gd_rows.at[row8].add(
-                jnp.where(rvalid[:, None], w8 * dweight[:, None], 0.0)
-            )
-        if scatter and emission_on and gt_rows is not None:
+        dpay = (row8, w8 * dweight[:, None], rvalid & (dweight != 0.0))
+        tpay = None
+        if emission_on:
             tgrid = medium.temperature
             i0t = jnp.floor(tp_local).astype(jnp.int32)
             ft = tp_local - i0t.astype(tp_local.dtype)
             w8t = trilinear_weights(ft)
             row8t, rvalidt = corner_row_index(tgrid.shape, i0t)
-            gt_rows = gt_rows.at[row8t].add(
-                jnp.where(rvalidt[:, None], w8t * tw[:, None], 0.0)
-            )
+            tpay = (row8t, w8t * tw[:, None], rvalidt & (tw != 0.0))
 
         st_new = ReplayState(
             o=o_new, d=d_new, t=t_new, t_exit=t_exit_new,
@@ -461,7 +596,7 @@ def _make_replay_step(
             sh_ctr0=sh_ctr0_new, sh_t0=sh_t0_new, sh_t1=sh_t1_new,
             ctr=ctr_new, tf_row=st.tf_row, wc=wc_new,
         )
-        return st_new, gd_rows, gt_rows
+        return st_new, dpay, tpay
 
     return step
 
@@ -567,29 +702,93 @@ def replay_grads(
     # presorting lanes by forward-recorded lifetime costs more than the
     # width it saves — argsort + the full-width permute gather — and a finer
     # 3/4 ladder is neutral; see PERF.md section 4b.)
+    #
+    # PENDING-PAYLOAD SCATTER LOOP (round 5): the gradient scatter is ~85%
+    # of the k=8 train step (scratch/r5_scatter_share.py), and the scatter
+    # engine charges ~40 ns per issued row — zeros included — so the
+    # payload is compacted (compact_scatter_fitting: 0.5625x the rows,
+    # measured 0.665x the time) before scattering. Its fixed two-level
+    # capacity cannot hold the ~10-iteration entry burst where most of the
+    # wavefront collides at once, and a per-iteration lax.cond is useless
+    # (XLA runs BOTH branches inside the loop — see the dead-end notes at
+    # compact_scatter_fitting). Instead each iteration's payload rides the
+    # carry as PENDING; the inner while-loop's CONDITION requires it to
+    # fit, so a misfitting payload ends the inner loop and is scattered
+    # directly (full width, exact) in the outer body, which then advances
+    # one step and re-enters. Payload accounting: every step's payload is
+    # scattered exactly once — by the next inner iteration (compact), by
+    # the outer body (direct, the misfit/stage-end case), or by the
+    # post-loop flush (direct).
     st, pids_t, stream_t, gL_tot_t, g_vec_t = st0, pixel_ids, stream, gL_tot_full, g_vec
     gd, gt, it = gd0, gt0, jnp.int32(0)
     gL_fin = jnp.zeros((N,), jnp.float32)
     idx_map = jnp.arange(N, dtype=jnp.int32)
 
+    def scatter_pend(gd_, gt_, pend, fn):
+        dpay, tpay = pend[0], pend[1]
+        gd2 = fn(gd_, *dpay)
+        gt2 = fn(gt_, *tpay) if tpay is not None else gt_
+        return gd2, gt2
+
     for next_w in compaction_widths(N) + [None]:
-        def cond(carry, next_w=next_w):
-            st_, _, _, it_, alive_ = carry
+        def stage_go(it_, alive_, next_w=next_w):
             go = (it_ < iter_cap) & (alive_ > 0)
             if next_w is not None:
                 go = go & (alive_ > next_w)
             return go
 
-        def body(carry, pids_=pids_t, stream_=stream_t, gL_=gL_tot_t, g_=g_vec_t):
-            st_, gd_, gt_, it_, _ = carry
-            u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
-            st2, gd2, gt2 = step(st_, u, gL_, g_, gd_, gt_)
-            return st2, gd2, gt2, it_ + 1, jnp.sum((st2.mode != RDONE).astype(jnp.int32))
+        # Per-stage invariants ride the while carries explicitly (not as
+        # closure captures): nested whiles closing over large constants
+        # tripped an XLA RET_CHECK (while-loop operand-shape mismatch during
+        # simplification) on the TPU backend.
+        # Caps read from module globals at trace time (tunable; the r5 cap
+        # sweep on the train bench picked the defaults — see PERF.md 4b).
+        cap1, cap2 = _SCATTER_CAP1, _SCATTER_CAP2
 
-        alive0 = jnp.sum((st.mode != RDONE).astype(jnp.int32))
-        st, gd, gt, it, _ = jax.lax.while_loop(
-            cond, body, (st, gd, gt, it, alive0)
+        def fitting(t, rows, vals, nz):
+            return compact_scatter_fitting(t, rows, vals, nz, cap1, cap2)
+
+        def step_payload(st_, it_, inv):
+            pids_, stream_, gL_, g_ = inv
+            u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
+            st2, dpay, tpay = step(st_, u, gL_, g_)
+            fits = payload_fits(dpay[2], cap1, cap2)
+            if tpay is not None:
+                fits = fits & payload_fits(tpay[2], cap1, cap2)
+            alive = jnp.sum((st2.mode != RDONE).astype(jnp.int32))
+            return st2, (dpay, tpay, fits), it_ + 1, alive
+
+        def inner_cond(c):
+            _, _, _, it_, alive_, pend, _ = c
+            return stage_go(it_, alive_) & pend[2]
+
+        def inner_body(c):
+            st_, gd_, gt_, it_, alive_, pend, inv = c
+            gd_, gt_ = scatter_pend(gd_, gt_, pend, fitting)
+            st_, pend, it_, alive_ = step_payload(st_, it_, inv)
+            return st_, gd_, gt_, it_, alive_, pend, inv
+
+        def outer_cond(c):
+            _, _, _, it_, alive_, _, _ = c
+            return stage_go(it_, alive_)
+
+        def outer_body(c):
+            c = jax.lax.while_loop(inner_cond, inner_body, c)
+            st_, gd_, gt_, it_, alive_, pend, inv = c
+            # misfit (or stage end): the pending payload needs full width
+            gd_, gt_ = scatter_pend(gd_, gt_, pend, direct_scatter)
+            st_, pend, it_, alive_ = step_payload(st_, it_, inv)
+            return st_, gd_, gt_, it_, alive_, pend, inv
+
+        # Seed: one unconditional step produces the first pending payload
+        # (a no-op when the stage is already satisfied — scheduling only,
+        # per-lane truncation lives inside the step).
+        inv = (pids_t, stream_t, gL_tot_t, g_vec_t)
+        st, pend, it, alive = step_payload(st, it, inv)
+        st, gd, gt, it, alive, pend, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (st, gd, gt, it, alive, pend, inv)
         )
+        gd, gt = scatter_pend(gd, gt, pend, direct_scatter)
         gL_fin = gL_fin.at[idx_map].set(st.gL_acc)
         if next_w is None:
             break

@@ -74,17 +74,20 @@ def render_wave_sharded(
     seed,
     wave,
     use_jitter: bool,
+    return_lane_iters: bool = False,
 ):
     """One sharded wave: returns (film contribution [N, 4], n_capped [],
-    iters []).
+    iters []), plus the global lane-iteration count when return_lane_iters.
 
     Each ('rays', 'spp') device renders its pixel shard at global wave index
     wave * spp_size + spp_index, then contributions are psum'd over 'spp' —
     one call therefore adds spp_size samples to every pixel. n_capped is the
     global (all-shards) count of rays truncated at the iteration cap; iters
-    is the all-shards SUM of wavefront loop iterations — divided by the
-    device count it gives the per-device work rate the multi-process harness
-    reports (a contention-honest scaling metric; see MULTIHOST.md).
+    is the all-shards SUM of wavefront loop iterations (ladder-dependent).
+    lane_iters is the all-shards sum of per-lane alive iterations — a pure
+    work count that is identical across mesh topologies by construction
+    (each lane's path length is fixed by its counter-keyed draws), the
+    contention-free scaling metric MULTIHOST.md reports.
     """
     spp_size = mesh.shape["spp"]
     seed_wave = jnp.asarray([seed, wave], jnp.uint32)
@@ -93,7 +96,7 @@ def render_wave_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P("rays", None), P("rays"), P()),
-        out_specs=(P("rays", None), P(), P()),
+        out_specs=(P("rays", None), P(), P()) + ((P(),) if return_lane_iters else ()),
         check_vma=False,
     )
     def shard_fn(medium_, camera_, raster, pids, seed_wave_):
@@ -113,18 +116,23 @@ def render_wave_sharded(
             from ..render.megakernel import trace_rays_fused as _tracer
         else:
             _tracer = trace_rays
-        L, iters, ncap = _tracer(
-            medium_, params, bb_table, o_w, d_w, pids, stream
+        res = _tracer(
+            medium_, params, bb_table, o_w, d_w, pids, stream,
+            return_lane_iters=return_lane_iters,
         )
+        L, iters, ncap = res[:3]
         contrib = jnp.concatenate(
             [camera_.imaging_ratio * L, jnp.ones((L.shape[0], 1), jnp.float32)],
             axis=-1,
         )
-        return (
+        outs = (
             jax.lax.psum(contrib, "spp"),
             jax.lax.psum(ncap, ("rays", "spp")),
             jax.lax.psum(iters, ("rays", "spp")),
         )
+        if return_lane_iters:
+            outs = outs + (jax.lax.psum(res[3], ("rays", "spp")),)
+        return outs
 
     return shard_fn(medium, camera, raster_xy, pixel_ids, seed_wave)
 

@@ -783,6 +783,7 @@ def trace_rays(
     d_world: jnp.ndarray,
     pixel_ids: jnp.ndarray,
     stream: jnp.ndarray,
+    return_lane_iters: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast forward render of a ray batch with lax.while_loop + compaction.
 
@@ -797,7 +798,11 @@ def trace_rays(
 
     Returns (radiance [N,3], iterations_used [], n_capped []) where n_capped
     counts lanes still mid-volume at the iteration cap (see finalize_radiance
-    for the truncation policy).
+    for the truncation policy). return_lane_iters=True appends the LANE-
+    iteration count (sum over loop trips of post-step alive lanes) — a pure
+    work count that is scheduling/compaction/topology-INVARIANT, because
+    each lane's path length is fixed by its counter-keyed draws; the
+    multi-host harness reports it as the contention-free scaling metric.
     """
     step = make_step(medium, params, bb_table)
     st0 = init_state(medium, o_world, d_world, params)
@@ -814,10 +819,11 @@ def trace_rays(
     st = st0
     pids = pixel_ids
     it = jnp.int32(0)
+    lane_it = jnp.int32(0)  # <= max_iters * N per wave: fits int32
 
     def make_loop(next_width: Optional[int]):
         def cond(carry):
-            st_, it_, alive_ = carry
+            st_, it_, alive_, _ = carry
             go = (it_ < params.max_iters) & (alive_ > 0)
             if next_width is not None:
                 go = go & (alive_ > next_width)
@@ -827,21 +833,22 @@ def trace_rays(
 
     def body_for(pids_, stream_):
         def body(carry):
-            st_, it_, _ = carry
+            st_, it_, _, lit_ = carry
             # Draws are keyed on each lane's OWN counter (== the global
             # iteration in this forward loop, since every lane steps every
             # iteration) — the backward replay (diff/prb.py) re-consumes a
             # lane's counters to reproduce its path draw-for-draw.
             u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
             st2 = step(st_, u)
-            return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
+            alive2 = jnp.sum((st2.mode != DONE).astype(jnp.int32))
+            return st2, it_ + 1, alive2, lit_ + alive2
 
         return body
 
     for next_w in widths + [None]:
         alive = jnp.sum((st.mode != DONE).astype(jnp.int32))
-        st, it, alive = jax.lax.while_loop(
-            make_loop(next_w), body_for(pids, stream), (st, it, alive)
+        st, it, alive, lane_it = jax.lax.while_loop(
+            make_loop(next_w), body_for(pids, stream), (st, it, alive, lane_it)
         )
         # Scatter current (finalized) radiance for every lane in this stage;
         # lanes that continue get overwritten by later stages' scatters.
@@ -854,6 +861,8 @@ def trace_rays(
             keep, (st, idx_map, pids, stream)
         )
 
+    if return_lane_iters:
+        return out, it, count_capped(st), lane_it
     return out, it, count_capped(st)
 
 

@@ -655,10 +655,13 @@ def trace_rays_fused(
     stream,
     block_lanes: int = 8192,
     interpret: bool = False,
+    return_lane_iters: bool = False,
 ):
     """Forward render via the Pallas megakernel; same contract as trace_rays.
 
-    Returns (radiance [N,3], iterations [], n_capped []). N must be a multiple
+    Returns (radiance [N,3], iterations [], n_capped []), plus the
+    topology-invariant lane-iteration count when return_lane_iters=True
+    (see integrator.trace_rays). N must be a multiple
     of 1024 (callers pad; see parallel/shard.pad_ray_batch). Requires the
     medium's packed fused rows. Consumes the identical PCG4D draw sequence as
     trace_rays (statistically identical renders; individual lanes can differ
@@ -725,7 +728,7 @@ def trace_rays_fused(
         N, min_width=HYBRID_MIN_LANES if hybrid else 1024, align=1024
     )
 
-    def run_stage(state_t, pids_t, stream_t, it, width, next_w):
+    def run_stage(state_t, pids_t, stream_t, it, lane_it, width, next_w):
         # 8192-lane blocks by default: a [21+3+14+1, 64, 128] block set fits
         # VMEM with room for double buffering; 16384-lane blocks nearly fill
         # the 16 MB scoped limit and measurably slow the kernel (PERF.md §1).
@@ -742,26 +745,26 @@ def trace_rays_fused(
         si = jnp.stack([_as2d(state_t[n]) for n in STATE_I32])
 
         def body(carry):
-            sf, si, it, alive = carry
+            sf, si, it, alive, lit = carry
             ff = prestep(pids2d, stream2d, sf, si)
             sf, si = call(sf, si, ff)
             alive_out = jnp.sum((si[i_mode] != DONE).astype(jnp.int32))
-            return sf, si, it + 1, alive_out
+            return sf, si, it + 1, alive_out, lit + alive_out
 
         def cond(carry):
-            *_, it, alive = carry
+            _, _, it, alive, _ = carry
             go = (it < params.max_iters) & (alive > 0)
             if next_w is not None:
                 go = go & (alive > next_w)
             return go
 
         alive0 = jnp.sum((state_t["mode"] != DONE).astype(jnp.int32))
-        sf, si, it, alive = jax.lax.while_loop(
-            cond, body, (sf, si, it, alive0)
+        sf, si, it, alive, lane_it = jax.lax.while_loop(
+            cond, body, (sf, si, it, alive0, lane_it)
         )
         state_o = {n: sf[i].reshape(-1) for i, n in enumerate(STATE_F32)}
         state_o.update({n: si[i].reshape(-1) for i, n in enumerate(STATE_I32)})
-        return state_o, it
+        return state_o, it, lane_it
 
     from .integrator import alive_first_perm, compact_lanes
 
@@ -770,10 +773,13 @@ def trace_rays_fused(
     pids_t = pixel_ids
     stream_t = stream_full
     it = jnp.int32(0)
+    lane_it = jnp.int32(0)
     width = N
     fused_plan = widths + ([1024] if hybrid else [None])
     for next_w in fused_plan:
-        state, it = run_stage(state, pids_t, stream_t, it, width, next_w)
+        state, it, lane_it = run_stage(
+            state, pids_t, stream_t, it, lane_it, width, next_w
+        )
         L_stage = jnp.stack(
             [state["Lx"], state["Ly"], state["Lz"]], axis=-1
         )
@@ -788,6 +794,8 @@ def trace_rays_fused(
 
     if not hybrid:
         n_capped = jnp.sum((state["mode"] != DONE).astype(jnp.int32))
+        if return_lane_iters:
+            return out, it, n_capped, lane_it
         return out, it, n_capped
 
     # ---- XLA tail: 1024 -> 512 -> drain, via the integrator step ----
@@ -811,20 +819,23 @@ def trace_rays_fused(
 
     for next_w in [512, None]:
         def cond(carry, next_w=next_w):
-            st_, it_, alive_ = carry
+            st_, it_, alive_, _ = carry
             go = (it_ < params.max_iters) & (alive_ > 0)
             if next_w is not None:
                 go = go & (alive_ > next_w)
             return go
 
         def body(carry, pids_=pids_t, stream_=stream_t):
-            st_, it_, _ = carry
+            st_, it_, _, lit_ = carry
             u = vrng.counter_uniforms(pids_, stream_, st_.ctr, 4)
             st2 = step(st_, u)
-            return st2, it_ + 1, jnp.sum((st2.mode != DONE).astype(jnp.int32))
+            alive2 = jnp.sum((st2.mode != DONE).astype(jnp.int32))
+            return st2, it_ + 1, alive2, lit_ + alive2
 
         alive0 = jnp.sum((st.mode != DONE).astype(jnp.int32))
-        st, it, _ = jax.lax.while_loop(cond, body, (st, it, alive0))
+        st, it, _, lane_it = jax.lax.while_loop(
+            cond, body, (st, it, alive0, lane_it)
+        )
         out = out.at[idx_map].set(finalize_radiance(st, params))
         if next_w is None:
             break
@@ -834,4 +845,6 @@ def trace_rays_fused(
         )
 
     n_capped = jnp.sum((st.mode != DONE).astype(jnp.int32))
+    if return_lane_iters:
+        return out, it, n_capped, lane_it
     return out, it, n_capped
