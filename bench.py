@@ -329,6 +329,79 @@ def bench_full():
     return out
 
 
+def bench_render1024():
+    """BASELINE config-5 production shape on one chip (VERDICT r4 item 4):
+    a full 1024x1024 CLI render — checkpointing, preview PNG and pixel
+    chunking on — timed end-to-end through the real driver, with peak HBM.
+    Merges results into BENCH_EXTRA.json."""
+    import tempfile
+
+    import jax
+
+    from volume_path_tracer_tpu import cli
+
+    waves = 64
+    d = tempfile.mkdtemp(prefix="vpt1024_")
+    scene = {
+        "seed": 10, "output_size": [1024, 1024], "tile_size": [8, 8],
+        "num_waves": waves, "num_workers": 1,
+        "camera_parameters": {
+            "position": [110.0, 0.0, 0.0], "look": [0.0, 0.0, 0.0],
+            "up": [0.0, 1.0, 0.0], "vfov_deg": 35.0, "imaging_ratio": 0.1,
+        },
+        "worker_parameters": {
+            "single_pixel": {"enabled": False, "coord": [0, 0]},
+            "infinite_light": {"xyz": [4.382, 3.509, 17.603], "multiplier": 0.14},
+            "distant_light": {"xyz": [0.95047, 1.0, 1.08883],
+                              "inv_direction": [0.5826, 0.766, 0.2717],
+                              "multiplier": 50.0},
+            "use_jitter": True, "max_depth": 100,
+        },
+        "volume_path": "unused.nvdb",
+        "volume_parameters": {
+            "sigma_a": 0.0, "sigma_s": 0.15, "henyey_greenstein_g": 0.4,
+            "le_scale": 0.0, "temperature_offset": 300.0,
+            "temperature_scale": 40.0,
+        },
+    }
+    sp = os.path.join(d, "scene1024.json")
+    with open(sp, "w") as f:
+        json.dump(scene, f)
+    out_png = os.path.join(d, "out.png")
+    t0 = time.perf_counter()
+    # In-process CLI (same code path as the console entry point): 65536-pixel
+    # chunks per wave — the bench wave shape — with checkpoint + preview on.
+    cli.main([
+        sp, out_png, "--procedural", "sphere", "--max-iters", "4096",
+        "--chunk-pixels", "65536",
+        "--checkpoint", os.path.join(d, "ck.npz"),
+        "--preview", os.path.join(d, "preview.png"),
+    ])
+    wall = time.perf_counter() - t0
+    assert os.path.exists(out_png) and os.path.getsize(out_png) > 1000
+    stats = jax.local_devices()[0].memory_stats() or {}
+    rays = 1024 * 1024 * waves
+    rec = {
+        "render_1024_wall_s": round(wall, 2),
+        "render_1024_rays_per_s": round(rays / wall, 1),
+        "render_1024_waves": waves,
+        "render_1024_peak_hbm_mb": round(
+            stats.get("peak_bytes_in_use", 0) / 1e6, 1
+        ),
+        "render_1024_method": (
+            "in-process CLI (vpt-tpu scene.json out.png --procedural sphere "
+            "--chunk-pixels 65536 --checkpoint --preview), end-to-end wall "
+            "clock incl compile+PNG+checkpoints"
+        ),
+    }
+    path = os.path.join(_REPO, "BENCH_EXTRA.json")
+    extra = json.load(open(path)) if os.path.exists(path) else {}
+    extra.update(rec)
+    with open(path, "w") as f:
+        json.dump(extra, f, indent=1)
+    print(json.dumps(rec), flush=True)
+
+
 def _verify_scene(out, tag, medium, camera, params, bb=None):
     """One XLA-vs-fused cross-check: timings, lane agreement, error tails."""
     import jax.numpy as jnp
@@ -444,9 +517,15 @@ def main():
                     help="also run big-grid/fire/backward benches -> BENCH_EXTRA.json")
     ap.add_argument("--verify", action="store_true",
                     help="XLA vs Pallas megakernel agreement+timing -> BENCH_VERIFY.json")
+    ap.add_argument("--render1024", action="store_true",
+                    help="full 1024x1024 CLI render, end-to-end -> BENCH_EXTRA.json")
     args = ap.parse_args()
 
     _common_setup()
+
+    if args.render1024:
+        bench_render1024()
+        return
 
     if args.verify:
         v = bench_verify()

@@ -92,13 +92,30 @@ def main():
         g = jax.grad(loss)(dens)
         return jax.lax.psum(g, ("rays", "spp"))
 
+    # HLO collective census on the TRUE cross-process compile (VERDICT r4
+    # item 5): the program this 2-process job actually runs must contain no
+    # forbidden collectives and only all-reduce psums — proving the
+    # single-process census (tests/test_sharding.py) holds across DCN.
+    from tests.test_sharding import TestCollectiveStructure as TCS
+
+    hlo = (
+        jax.jit(grad_shard)
+        .lower(medium_r.density.data, raster_g, pids_g)
+        .compile()
+        .as_text()
+    )
+    census = TCS._collective_census(hlo)
+    for kind in TCS.FORBIDDEN:
+        assert census[kind] == 0, census
+    assert census["all-reduce"] >= 1, census
+
     grad = grad_shard(medium_r.density.data, raster_g, pids_g)
     grad_np = multihost.gather_film_to_host(grad)
 
     if jax.process_index() == 0:
         np.savez(out, film=np.asarray(film), grad=np.asarray(grad_np),
-                 npix=npix)
-        print("worker0: wrote", out, flush=True)
+                 npix=npix, census_all_reduce=census["all-reduce"])
+        print("worker0: wrote", out, "census", census, flush=True)
     # all processes must stay alive until the collectives finish
     jax.effects_barrier()
 

@@ -128,3 +128,51 @@ def test_hybrid_tail_matches_xla_integrator():
     assert lane_exact > 0.95, lane_exact
     rel = np.abs(L_f.mean(0) - L_ref.mean(0)) / (np.abs(L_ref.mean(0)) + 1e-9)
     assert (rel < 0.05).all(), rel
+
+
+def test_fused_emissive_16wide_matches_xla_integrator():
+    """The 16-WIDE fused configuration (aligned temperature folded into
+    columns 8..15, selected in production by use_fused_path) cross-checked in
+    interpret mode on CPU — previously only bench --verify covered it on
+    hardware, so a Mosaic/interpret regression in the wide temperature dot
+    would escape CI (ADVICE r4 item 4)."""
+    from volume_path_tracer_tpu.grids.grid import dense_grid_from_array
+    from volume_path_tracer_tpu.grids.procedural import fire_plume
+    from volume_path_tracer_tpu.utils.spectral import blackbody_xyz_table
+
+    dens, temp = fire_plume(height=40, radius=10.0)
+    # re-frame the temperature grid as alignment-compatible (world_offset 0)
+    temp_al = dense_grid_from_array(
+        np.asarray(temp.data), origin_ijk=temp.origin_ijk,
+        voxel_size=temp.voxel_size, world_offset=(0.0, 0.0, 0.0),
+    )
+    med = Medium.from_grids(dens, temp_al)
+    assert med.density_rows.shape[1] == 16  # the wide-row configuration
+    bb = jnp.asarray(blackbody_xyz_table())
+    params = IntegratorParams(
+        sigma_a=2.0, sigma_s=0.9, hg_g=0.7, le_scale=4e-8,
+        temperature_offset=300.0, temperature_scale=43.0,
+        infinite_xyz=(0.25, 0.25, 0.5), infinite_multiplier=10.0,
+        distant_xyz=(0.95047, 1.0, 1.08883), distant_multiplier=20.0,
+        distant_inv_direction=(0.5, 1.0, 0.0),
+        max_depth=1_000_000, max_iters=2048,
+    )
+    N = 2048
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(
+        np.stack(
+            [np.full(N, -40.0), rng.uniform(5, 35, N), rng.uniform(-10, 10, N)],
+            -1,
+        ).astype(np.float32)
+    )
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (N, 3))
+    pids = jnp.arange(N, dtype=jnp.int32)
+    stream = vrng.mix_stream(3, 1)
+    L_ref, _, _ = trace_rays(med, params, bb, o, d, pids, stream)
+    L_f, _, nc_f = trace_rays_fused(
+        med, params, bb, o, d, pids, stream, block_lanes=1024, interpret=True
+    )
+    L_ref, L_f = np.asarray(L_ref), np.asarray(L_f)
+    assert int(nc_f) == 0
+    lane_exact = np.isclose(L_ref, L_f, rtol=1e-4, atol=1e-5).all(-1).mean()
+    assert lane_exact > 0.95, lane_exact

@@ -68,12 +68,16 @@ class TestAlignmentDetection:
         assert Medium.from_grids(d, t).density_rows.shape[1] == 8
 
     def test_exact_shifted_copy(self):
-        """T[q] must equal the temperature value at density voxel q."""
+        """T[q + 1] must equal the temperature value at density coord q, over
+        the full corner-table extent -1..dim (including the fringe where the
+        temperature grid extends beyond the density bbox)."""
         dens, temp = _grids(offset=(3.0, -2.0, 7.0), t_origin=(-1, 2, -3))
         T = np.asarray(temperature_on_density_grid(dens, temp))
         X, Y, Z = dens.shape
-        for q in [(0, 0, 0), (3, 4, 5), (X - 1, Y - 1, Z - 1), (7, 1, 9)]:
-            # world position of density voxel q -> temperature local coords
+        assert T.shape == (X + 2, Y + 2, Z + 2)
+        for q in [(0, 0, 0), (3, 4, 5), (X - 1, Y - 1, Z - 1), (7, 1, 9),
+                  (-1, -1, -1), (X, Y, Z), (-1, 4, 5), (X, 0, Z)]:
+            # world position of density coord q -> temperature local coords
             w = (np.add(dens.origin_ijk, q)) * dens.voxel_size
             w = w + np.asarray(dens.world_offset)
             tl = (w - np.asarray(temp.world_offset)) / temp.voxel_size
@@ -81,7 +85,8 @@ class TestAlignmentDetection:
             tl = np.round(tl).astype(int)
             inside = all(0 <= tl[a] < temp.shape[a] for a in range(3))
             want = np.asarray(temp.data)[tuple(tl)] if inside else 0.0
-            assert T[q] == want, (q, T[q], want)
+            got = T[tuple(np.add(q, 1))]
+            assert got == want, (q, got, want)
 
 
 class TestWideRowRendering:

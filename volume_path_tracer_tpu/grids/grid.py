@@ -137,7 +137,7 @@ def sample_trilinear_local(data: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def pack_corner_rows(data: jnp.ndarray) -> jnp.ndarray:
+def pack_corner_rows(data: jnp.ndarray, padded: bool = False) -> jnp.ndarray:
     """Corner-packed layout: row i of the result holds the 2x2x2 neighborhood
     of voxel i (flat order), i.e. the 8 trilinear corners, contiguously.
 
@@ -149,9 +149,19 @@ def pack_corner_rows(data: jnp.ndarray) -> jnp.ndarray:
     The table covers base coords -1..dim-1 per axis (shape [(X+1)(Y+1)(Z+1),
     8]), so every query point in [-1, dim] interpolates with correct zero
     background, matching the generic gather path for ALL inputs.
+
+    padded=True: `data` already carries values at coords -1..dim per axis
+    (shape [X+2, Y+2, Z+2]) and is used as-is instead of zero-padding — the
+    fused temperature fold supplies real values for the one-voxel fringe
+    where an aligned temperature grid extends beyond the density extent
+    (medium.temperature_on_density_grid).
     """
-    X, Y, Z = data.shape
-    p = jnp.pad(data, ((1, 1), (1, 1), (1, 1)))
+    if padded:
+        X, Y, Z = (s - 2 for s in data.shape)
+        p = data
+    else:
+        X, Y, Z = data.shape
+        p = jnp.pad(data, ((1, 1), (1, 1), (1, 1)))
     R = (Y + 1) * (Z + 1)
     table_bytes = (X + 1) * R * 8 * 4
 

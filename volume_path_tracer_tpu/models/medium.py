@@ -31,14 +31,19 @@ def temperature_on_density_grid(
 ):
     """Temperature resampled onto the density grid's frame, or None.
 
-    Returns [X, Y, Z] T with T[q] = the temperature grid's value at density
-    voxel q's position — an EXACT integer shift when the grids are
+    Returns [X+2, Y+2, Z+2] T with T[q + 1] = the temperature grid's value
+    at density voxel coordinate q for q in -1..X per axis — the CORNER-TABLE
+    extent (grid.corner_row_index covers base coords -1..X-1, whose corners
+    reach -1..X) — an EXACT integer shift when the grids are
     alignment-compatible (same voxel size, integer index offset between
     frames; true for co-simulated volumes exported with one transform).
     Alignment makes every density cell's image in temperature index space
     exactly one temperature cell, so trilinear interpolation of these corner
     values equals the reference's own-transform temperature sample
-    (worker.cpp:153-155) — it is what lets the emissive fused table carry
+    (worker.cpp:153-155) for EVERY collision point, including density
+    boundary cells where an aligned temperature grid extends one voxel
+    beyond the density extent (the one-voxel fringe zero-padding would
+    otherwise mis-reproduce). It is what lets the emissive fused table carry
     temperature corners (pack_fused_rows) and the hot loop pay ZERO extra
     gathers for emission. Returns None for misaligned grids (callers fall
     back to the separate temperature-row gather).
@@ -61,15 +66,21 @@ def temperature_on_density_grid(
         delta.append(int(r))
     X, Y, Z = density.shape
     tX, tY, tZ = temperature.shape
-    lo = [max(0, -d) for d in delta]
-    hi = [min(s, ts - d) for s, ts, d in zip((X, Y, Z), (tX, tY, tZ), delta)]
-    out = jnp.zeros((X, Y, Z), jnp.float32)
+    # Extended coordinate e in 0..dim+1 maps to density coord q = e - 1 and
+    # temperature index q + delta; values outside the temperature grid are
+    # its true zero background.
+    lo = [max(0, 1 - d) for d in delta]
+    hi = [
+        min(s + 2, ts + 1 - d)
+        for s, ts, d in zip((X, Y, Z), (tX, tY, tZ), delta)
+    ]
+    out = jnp.zeros((X + 2, Y + 2, Z + 2), jnp.float32)
     if any(h <= l for l, h in zip(lo, hi)):
         return out  # disjoint bboxes: temperature is background 0 everywhere
     src = temperature.data[
-        lo[0] + delta[0] : hi[0] + delta[0],
-        lo[1] + delta[1] : hi[1] + delta[1],
-        lo[2] + delta[2] : hi[2] + delta[2],
+        lo[0] - 1 + delta[0] : hi[0] - 1 + delta[0],
+        lo[1] - 1 + delta[1] : hi[1] - 1 + delta[1],
+        lo[2] - 1 + delta[2] : hi[2] - 1 + delta[2],
     ]
     return out.at[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].set(src)
 
@@ -92,6 +103,8 @@ def pack_fused_rows(
     temp_on_density (temperature_on_density_grid): when given, its corner
     rows ride columns 8..15 of the same table — 16-wide rows whose one
     (~1.5x) gather replaces the emissive path's separate temperature gather.
+    It arrives PRE-PADDED over the corner extent (-1..X per axis) so the
+    fringe corners carry the temperature grid's real values, not zeros.
     """
     # One jit region: built eagerly, the 8x corner table's intermediates
     # (scan output, reshape copy, concatenate operands) accumulate to ~3x
@@ -102,7 +115,7 @@ def pack_fused_rows(
         corners = pack_corner_rows(data_)  # [(X+1)(Y+1)(Z+1), 8]
         if temp_ is not None:
             corners = jnp.concatenate(
-                [corners, pack_corner_rows(temp_)], axis=1
+                [corners, pack_corner_rows(temp_, padded=True)], axis=1
             )
         maj = jax.lax.stop_gradient(rows_)  # [NB, 2]
         majp = jnp.pad(maj, ((0, 0), (0, corners.shape[1] - maj.shape[1])))
