@@ -71,6 +71,9 @@ def main(argv=None):
                          "equivalent for headless TPU hosts)")
     ap.add_argument("--checkpoint", default=None, metavar="NPZ",
                     help="wave-boundary checkpoint file (resumes if present)")
+    ap.add_argument("--checkpoint-every-s", type=float, default=60.0,
+                    help="minimum seconds between checkpoint writes "
+                         "(always written when stopping)")
     ap.add_argument("--chunk-pixels", type=int, default=None,
                     help="render each wave in pixel chunks of this size")
     ap.add_argument("--max-iters", type=int, default=8192,
@@ -162,24 +165,47 @@ def main(argv=None):
     # Mid-wave feedback (the reference GUI repaints at 5 FPS *during* a wave,
     # main.cpp:101-132): when --chunk-pixels splits a wave, repaint the live
     # preview / progress line at chunk boundaries with the partial film.
+    # Throttle timestamps are taken AFTER the work: tonemap + PNG encode of
+    # a large film can exceed the interval itself, and a before-work stamp
+    # then degenerates to encoding at EVERY chunk — measured 25x slower
+    # end-to-end on a 1024x1024 render (PERF.md). Preview PNG writes get a
+    # longer interval than the cheap terminal repaint for the same reason.
+    _last_paint = [0.0]
+    _last_preview = [0.0]
+    _PREVIEW_EVERY_S = 2.0
+
+    def _write_preview(img):
+        if args.preview and _time.monotonic() - _last_preview[0] >= _PREVIEW_EVERY_S:
+            write_png(args.preview, img, atomic=True)
+            _last_preview[0] = _time.monotonic()
+
     chunk_cb = None
     if args.chunk_pixels and (live is not None or args.preview):
-        _last_paint = [0.0]
 
         def chunk_cb(done, total, film_now):
             now = _time.monotonic()
             if now - _last_paint[0] < 0.2:  # 5 FPS cap, like the reference
                 return
-            _last_paint[0] = now
-            img = np.asarray(film_to_srgb_u8(film_now))
             status = f"[vpt] {tracker.format()} (wave {done * 100 // total}%)"
-            if live is not None:
-                live.draw(img, status)
+            # Tonemap only when something consumes the pixels: the tonemap +
+            # device->host transfer of a large film costs ~50 ms, which at
+            # 5 Hz is a measurable tax on a render that only prints status.
+            preview_due = (
+                args.preview
+                and now - _last_preview[0] >= _PREVIEW_EVERY_S
+            )
+            if live is not None or preview_due:
+                img = np.asarray(film_to_srgb_u8(film_now))
+                if live is not None:
+                    live.draw(img, status)
+                else:
+                    print(f"\r{status}   ", end="", flush=True)
+                _write_preview(img)
             else:
                 print(f"\r{status}   ", end="", flush=True)
-            if args.preview:
-                write_png(args.preview, img, atomic=True)
+            _last_paint[0] = _time.monotonic()
 
+    _last_ckpt = [_time.monotonic()]
     with StopController() as stop:
         w = start_wave
         while w < num_waves:
@@ -200,14 +226,22 @@ def main(argv=None):
                 f"[vpt] {tracker.format()} "
                 f"({npix_img / dt_wave / 1e6:.2f} M rays/s)"
             )
+            stopping = stop.stop_at_next_wave or w == num_waves
             if live is not None:
                 live.draw(np.asarray(film_to_srgb_u8(film)), status)
             else:
                 print(f"\r{status}   ", end="", flush=True)
-            if args.preview:
-                write_png(args.preview, np.asarray(film_to_srgb_u8(film)), atomic=True)
-            if args.checkpoint:
+            if args.preview and not stopping:
+                _write_preview(np.asarray(film_to_srgb_u8(film)))
+            if args.checkpoint and (
+                stopping
+                or _time.monotonic() - _last_ckpt[0] >= args.checkpoint_every_s
+            ):
+                # Wave boundaries are consistent snapshots; time-throttled
+                # because a compressed multi-MB film checkpoint per wave
+                # dominates fast renders. Always saved when stopping.
                 save_checkpoint(args.checkpoint, np.asarray(film), w, scene.seed)
+                _last_ckpt[0] = _time.monotonic()
             if stop.stop_at_next_wave:
                 print(flush=True)
                 vlog.info(f"stopped at wave boundary {w}")
