@@ -565,7 +565,13 @@ def main():
         import jax
 
         extra["device"] = str(jax.devices()[0])
-        with open(os.path.join(_REPO, "BENCH_EXTRA.json"), "w") as f:
+        # Merge over the existing file: --render1024 contributes its keys
+        # separately and a --full refresh must not clobber them.
+        path = os.path.join(_REPO, "BENCH_EXTRA.json")
+        old = json.load(open(path)) if os.path.exists(path) else {}
+        old.update(extra)
+        extra = old
+        with open(path, "w") as f:
             json.dump(extra, f, indent=1)
         print(json.dumps(extra), flush=True)
 

@@ -788,7 +788,16 @@ def replay_grads(
         st, gd, gt, it, alive, pend, _ = jax.lax.while_loop(
             outer_cond, outer_body, (st, gd, gt, it, alive, pend, inv)
         )
-        gd, gt = scatter_pend(gd, gt, pend, direct_scatter)
+        # End-of-stage flush: unlike a cond in a while BODY (which XLA
+        # executes both-branches-and-select — PERF.md 4b-r5 dead ends), a
+        # top-level cond is a real conditional (measured), so the flush
+        # compacts when the final pending payload fits.
+        gd, gt = jax.lax.cond(
+            pend[2],
+            lambda ops: scatter_pend(ops[0], ops[1], pend, fitting),
+            lambda ops: scatter_pend(ops[0], ops[1], pend, direct_scatter),
+            (gd, gt),
+        )
         gL_fin = gL_fin.at[idx_map].set(st.gL_acc)
         if next_w is None:
             break
