@@ -368,16 +368,25 @@ def bench_render1024():
     with open(sp, "w") as f:
         json.dump(scene, f)
     out_png = os.path.join(d, "out.png")
-    t0 = time.perf_counter()
-    # In-process CLI (same code path as the console entry point): 65536-pixel
-    # chunks per wave — the bench wave shape — with checkpoint + preview on.
-    cli.main([
-        sp, out_png, "--procedural", "sphere", "--max-iters", "4096",
-        "--chunk-pixels", "65536",
-        "--checkpoint", os.path.join(d, "ck.npz"),
-        "--preview", os.path.join(d, "preview.png"),
-    ])
-    wall = time.perf_counter() - t0
+
+    def run_once():
+        ck = os.path.join(d, "ck.npz")
+        if os.path.exists(ck):
+            os.remove(ck)  # a stale checkpoint would resume and skip waves
+        t0 = time.perf_counter()
+        # In-process CLI (same code path as the console entry point):
+        # 65536-pixel chunks per wave — the bench wave shape — with
+        # checkpoint + preview on.
+        cli.main([
+            sp, out_png, "--procedural", "sphere", "--max-iters", "4096",
+            "--chunk-pixels", "65536",
+            "--checkpoint", ck,
+            "--preview", os.path.join(d, "preview.png"),
+        ])
+        return time.perf_counter() - t0
+
+    wall = run_once()  # cold: includes compile
+    warm = run_once()  # steady state: compiles cached in-process
     assert os.path.exists(out_png) and os.path.getsize(out_png) > 1000
     stats = jax.local_devices()[0].memory_stats() or {}
     rays = 1024 * 1024 * waves
@@ -385,6 +394,8 @@ def bench_render1024():
     rec = {
         "render_1024_wall_s": round(wall, 2),
         "render_1024_rays_per_s": round(rays / wall, 1),
+        "render_1024_warm_wall_s": round(warm, 2),
+        "render_1024_warm_rays_per_s": round(rays / warm, 1),
         "render_1024_waves": waves,
         # None: the axon PJRT backend does not expose memory_stats
         "render_1024_peak_hbm_mb": round(peak / 1e6, 1) if peak else None,
