@@ -326,6 +326,46 @@ def bench_full():
         f"{k} spp/step, best-of-3 chains of {CH} device-resident steps, "
         "one forced transfer per chain"
     )
+
+    # --- JOINT density+temperature train step (emissive medium) ---
+    # The temperature gradient adds a second corner-row scatter per replay
+    # iteration (through the same payload compaction); this is the
+    # BASELINE config-5 joint-optimization shape (worker.cpp:152-157).
+    import dataclasses as _dc
+
+    dens_j, temp_j = fire_plume(height=96, radius=28.0)
+    base_j = Medium.from_grids(dens_j, temp_j, pack=False)
+    em_params = _dc.replace(
+        _fire_params(max_iters=1024), max_depth=10_000
+    )
+    cam_j = _camera(128, 128, (170.0, 48.0, 0.0), look=(0.0, 48.0, 0.0),
+                    vfov=37.0)
+    grids_j = OptimizableGrids(
+        log_density=param_from_density(base_j.density.data),
+        temperature=base_j.temperature.data,
+    )
+    opt_j = optax.adam(1e-2)
+    st_j = opt_j.init(grids_j)
+    step_j = make_train_step(
+        base_j, em_params, cam_j, bb, opt_j, n_iters=1024,
+        samples_per_step=k, use_prb=True, pack=True, dual_buffer=True,
+    )
+    g2, s2, loss = step_j(grids_j, st_j, raster, pids, target,
+                          jnp.asarray([5, 1], jnp.uint32))
+    _ = float(loss)
+    best = None
+    for rep in range(3):
+        gg, ss = g2, s2
+        t0 = time.perf_counter()
+        for i in range(CH):
+            gg, ss, loss = step_j(
+                gg, ss, raster, pids, target,
+                jnp.asarray([5, 2 + rep * CH + i], jnp.uint32),
+            )
+        _ = float(loss)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["train_joint_emissive_rays_per_s"] = round(128 * 128 * k * CH / best, 1)
     return out
 
 
