@@ -188,15 +188,13 @@ _SCATTER_CAP2 = 192
 # — (56,192) 278.2 ms, (64,128) 279.8, (48,256) 279.5, (72,192) 285.9,
 # (80,160) 288.7, (96,128) 297.0 — a flat optimum around capacity ~0.5 with
 # a generous level-2 for the post-compaction occupancy spikes.
-# The WIDE single-level cap used by the iteration-indexed stage prefix (the
-# first _WIDE_PREFIX iterations after a ladder compaction, whose occupancy
-# exceeds the tight caps). DISABLED (0): the prefix while-loop measured
-# 380.7 ms/step vs 272.9 without — on this backend each additional
-# while-loop instance per stage costs ~2.5-5 ms (the two-tier cascade's
-# 375.7 ms regression had the same cause, not ping-pong), which swamps the
-# ~0.25*K rows the prefix saves on ~10 iterations. See PERF.md 4b-r5.
-_SCATTER_CAP_WIDE = 96
-_WIDE_PREFIX = 0
+# No wide-cap tier for the post-compaction occupancy spikes: an
+# iteration-indexed wide-prefix while loop measured 380.7 ms/step vs 272.9
+# without — on this backend each additional while-loop instance per stage
+# costs ~2.5-5 ms (the two-tier fits cascade's 375.7 ms regression had the
+# same cause, not ping-pong), which swamps the ~0.25*K rows the prefix
+# saves on ~10 iterations. See PERF.md 4b-r5; the spikes ride the
+# pending-payload loop's direct-scatter path instead.
 # Below this payload width the fixed compaction overhead is not worth the
 # saved rows; the ladder's tail stages scatter directly.
 _COMPACT_MIN_WIDTH = 4096
@@ -764,16 +762,8 @@ def replay_grads(
             fits = payload_fits(dpay[2], cap1, cap2)
             if tpay is not None:
                 fits = fits & payload_fits(tpay[2], cap1, cap2)
-            if _WIDE_PREFIX:
-                fits_w = payload_fits(dpay[2], _SCATTER_CAP_WIDE, 0)
-                if tpay is not None:
-                    fits_w = fits_w & payload_fits(
-                        tpay[2], _SCATTER_CAP_WIDE, 0
-                    )
-            else:
-                fits_w = fits  # unused (prefix disabled); keeps pend's shape
             alive = jnp.sum((st2.mode != RDONE).astype(jnp.int32))
-            return st2, (dpay, tpay, fits, fits_w), it_ + 1, alive
+            return st2, (dpay, tpay, fits), it_ + 1, alive
 
         def inner_cond(c):
             _, _, _, it_, alive_, pend, _ = c
@@ -802,41 +792,6 @@ def replay_grads(
         # per-lane truncation lives inside the step).
         inv = (pids_t, stream_t, gL_tot_t, g_vec_t)
         st, pend, it, alive = step_payload(st, it, inv)
-        if _WIDE_PREFIX:
-            # Iteration-INDEXED wide prefix: the first iterations after a
-            # ladder compaction run at occupancy ~1.0 x ~50% event rate —
-            # over the tight caps but under a single-level cap of 96. The
-            # prefix budget is keyed on the iteration counter, so unlike
-            # the two-tier fits cascade (a measured dead end: occupancy
-            # oscillation across the tier boundary forced a full-width
-            # direct scatter per crossing) it can never ping-pong — once
-            # spent, control falls through to the tight loop for the rest
-            # of the stage.
-            it0 = it
-
-            def wide(t, rows, vals, nz):
-                return compact_scatter_fitting(
-                    t, rows, vals, nz, _SCATTER_CAP_WIDE, 0
-                )
-
-            def prefix_cond(c):
-                _, _, _, it_, alive_, pend_, _ = c
-                return (
-                    stage_go(it_, alive_)
-                    & (it_ - it0 < _WIDE_PREFIX)
-                    & pend_[3]
-                    & (~pend_[2])
-                )
-
-            def prefix_body(c):
-                st_, gd_, gt_, it_, alive_, pend_, inv_ = c
-                gd_, gt_ = scatter_pend(gd_, gt_, pend_, wide)
-                st_, pend_, it_, alive_ = step_payload(st_, it_, inv_)
-                return st_, gd_, gt_, it_, alive_, pend_, inv_
-
-            st, gd, gt, it, alive, pend, _ = jax.lax.while_loop(
-                prefix_cond, prefix_body, (st, gd, gt, it, alive, pend, inv)
-            )
         st, gd, gt, it, alive, pend, _ = jax.lax.while_loop(
             outer_cond, outer_body, (st, gd, gt, it, alive, pend, inv)
         )
