@@ -39,12 +39,7 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
-    from volume_path_tracer_tpu.grids.procedural import fog_sphere
-    from volume_path_tracer_tpu.models.camera import Camera
-    from volume_path_tracer_tpu.models.medium import Medium
     from volume_path_tracer_tpu.parallel.shard import render_wave_sharded
-    from volume_path_tracer_tpu.render.integrator import IntegratorParams
-    from volume_path_tracer_tpu.utils.config import CameraParameters
     from tests.scene_fixtures import small_scene
 
     medium, camera, params, W, H = small_scene()

@@ -7,10 +7,8 @@ The delta-tracking estimator's gradient is stochastic; we validate that the
 noise away), then that end-to-end inverse rendering actually recovers a
 density field.
 """
-import dataclasses
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -88,7 +88,6 @@ class TestGolden:
     def record():
         """Regenerate golden values (run manually after intended changes)."""
         t = TestGolden()
-        import types
         for name in ("test_scattering_cloud_statistics", "test_emissive_fire_statistics"):
             try:
                 getattr(t, name)()

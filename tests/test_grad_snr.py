@@ -10,7 +10,6 @@ already resolved at modest budgets. The measured numbers are printed so the
 run log documents the SNR scale for sizing training batches.
 """
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

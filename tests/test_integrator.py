@@ -7,10 +7,8 @@ tests compare *converged means* against
   (b) an independent sequential NumPy implementation of the reference
       algorithm (tests/reference_impl.py) on small heterogeneous volumes.
 """
-import dataclasses
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ the 1-device render (same keys, same order) bitwise or allclose; sharded
 training gradients must match the single-device gradients.
 """
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

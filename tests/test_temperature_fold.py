@@ -9,7 +9,6 @@ reproduces the reference's own-transform temperature sample
 (/root/reference/src/worker.cpp:153-155).
 """
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

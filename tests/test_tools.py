@@ -7,7 +7,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from volume_path_tracer_tpu.grids.grid import dense_grid_from_array, sample_trilinear_local
+from volume_path_tracer_tpu.grids.grid import sample_trilinear_local
 from volume_path_tracer_tpu.grids.procedural import fog_sphere
 from volume_path_tracer_tpu.models.medium import Medium
 from volume_path_tracer_tpu.render.integrator import IntegratorParams

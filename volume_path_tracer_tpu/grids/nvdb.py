@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

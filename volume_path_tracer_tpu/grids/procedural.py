@@ -11,7 +11,7 @@ DenseGrid pytrees.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -28,7 +28,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

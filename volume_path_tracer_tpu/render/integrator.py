@@ -51,9 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from ..grids.grid import (
-    DenseGrid,
     corner_row_index,
-    gather_voxels,
     sample_trilinear_local,
     sample_trilinear_rows,
     trilinear_weights,

@@ -65,7 +65,6 @@ from ..utils import rng as vrng
 from .integrator import (
     IntegratorParams,
     _LOOKAHEAD,
-    _SUPER_TAU,
     _TINY,
     emission_enabled,
 )

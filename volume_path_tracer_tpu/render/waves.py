@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 import signal
 import time
-from typing import Optional
 
 import numpy as np
 

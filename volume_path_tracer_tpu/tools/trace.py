@@ -18,7 +18,7 @@ All functions are host-side debug paths (single ray, eager numpy/jax).
 from __future__ import annotations
 
 import csv
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..grids.majorant import BRICK, SUPER
 from ..models.medium import Medium
 from ..render.integrator import (
-    CAM, DONE, SHADOW, IntegratorParams, init_state, make_step,
+    DONE, IntegratorParams, init_state, make_step,
 )
 from ..utils import rng as vrng
 
@@ -107,8 +107,6 @@ def majorant_trace(medium: Medium, o_world, d_world, path: str = "majorant_trace
 
 def dda_trace(medium: Medium, o_world, d_world, path: str = "dda_trace.csv"):
     """Voxel-level DDA dump (log_dda_trace analog, volume.cpp:194-225)."""
-    from ..grids.grid import sample_trilinear_local
-
     g = medium.density
     o, d = _ray_to_index(medium, o_world, d_world)
     O = np.asarray(g.origin_ijk, np.float64)
