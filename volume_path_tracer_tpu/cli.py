@@ -231,7 +231,16 @@ def main(argv=None):
                 live.draw(np.asarray(film_to_srgb_u8(film)), status)
             else:
                 print(f"\r{status}   ", end="", flush=True)
-            if args.preview and not stopping:
+            # Gate the TONEMAP on the preview throttle, not just the PNG
+            # write: tonemap + device->host film transfer measures ~150 ms
+            # at 1024x1024 through the tunnel — paying it every wave while
+            # _write_preview throttles the encode away was ~18% of the
+            # whole render (scratch/r5_cli1024_ab.py).
+            if (
+                args.preview
+                and not stopping
+                and _time.monotonic() - _last_preview[0] >= _PREVIEW_EVERY_S
+            ):
                 _write_preview(np.asarray(film_to_srgb_u8(film)))
             if args.checkpoint and (
                 stopping

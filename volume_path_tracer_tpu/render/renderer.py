@@ -72,6 +72,18 @@ def pixel_coords(width: int, height: int) -> np.ndarray:
     return np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=4)
+def _pixel_coords_device(width: int, height: int):
+    """Device-resident (coords [H*W, 2], pids [H*W]) — uploaded once per
+    image shape, reused every wave (an 8 MB host->device transfer per wave
+    at 1024x1024 measured ~95 ms through the tunnel; see render_wave_image).
+    """
+    return (
+        jnp.asarray(pixel_coords(width, height)),
+        jnp.arange(width * height, dtype=jnp.int32),
+    )
+
+
 def _bb_table_for(medium: Medium, params: IntegratorParams):
     from .integrator import emission_enabled
 
@@ -169,18 +181,22 @@ def render_wave_image(
         )
         return film.at[y, x].add(contrib[0])
 
-    coords = pixel_coords(W, H)
-    n = coords.shape[0]
+    n = W * H
     chunk = chunk_pixels or n
     out = film.reshape(-1, 4)
+    # Device-cached coords, sliced on device per chunk: per-chunk
+    # jnp.asarray(coords[s:e]) uploads re-staged 0.5 MB through the tunnel
+    # each time, measured ~95 ms/wave at 1024x1024 with 65536-pixel chunks
+    # (scratch/r5_cli1024_ab.py: 427 -> 333 ms/wave device-staged).
+    coords_dev, pids_dev = _pixel_coords_device(W, H)
     # Capped-lane counts accumulate ON DEVICE across chunks and are read once
     # per wave: a host int() inside the loop would serialize chunk dispatch at
     # one tunnel round-trip each (the pitfall bench.py's methodology notes).
     ncap_dev = None
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
-        raster = jnp.asarray(coords[start:end])
-        pids = jnp.arange(start, end, dtype=jnp.int32)
+        raster = coords_dev[start:end]
+        pids = pids_dev[start:end]
         contrib, _, n_capped = render_rays_wave(
             scene.medium, scene.params, scene.camera, bb, raster, pids,
             scene.seed, wave, scene.use_jitter, scene.camera.imaging_ratio,
