@@ -221,17 +221,23 @@ def main(argv=None):
             _last_paint[0] = _time.monotonic()
 
     _last_ckpt = [_time.monotonic()]
+    # Truncated-lane counts accumulate ON DEVICE across waves and are read
+    # once at the end: a per-wave int() costs one tunnel round-trip (~22 ms)
+    # — the same pitfall bench.py's methodology documents for float(loss).
+    ncap_total = None
     with StopController() as stop:
         w = start_wave
         while w < num_waves:
             w += 1
             t_wave = _time.perf_counter()
             if mesh is not None:
-                film = _render_wave_sharded(scene, mesh, w, film)
+                film, ncap_w = _render_wave_sharded(scene, mesh, w, film)
             else:
-                film = render_wave_image(
-                    scene, w, film, args.chunk_pixels, chunk_callback=chunk_cb
+                film, ncap_w = render_wave_image(
+                    scene, w, film, args.chunk_pixels, chunk_callback=chunk_cb,
+                    return_ncap=True,
                 )
+            ncap_total = ncap_w if ncap_total is None else ncap_total + ncap_w
             jax.block_until_ready(film)
             dt_wave = _time.perf_counter() - t_wave
             tracker.advance(1)
@@ -275,6 +281,14 @@ def main(argv=None):
         print(flush=True)
         vlog.info(f"profiler trace written to {args.profile}")
 
+    ncap = int(ncap_total) if ncap_total is not None else 0
+    if ncap:
+        print(flush=True)
+        vlog.warn(
+            f"{ncap} rays (all waves) truncated at the iteration cap "
+            f"(max_iters={scene.params.max_iters}) - raise --max-iters "
+            f"to eliminate the bias"
+        )
     save_final(film)
     return 0
 
@@ -285,26 +299,32 @@ def _bb(scene):
     return _bb_table_for(scene.medium, scene.params)
 
 
-def _render_wave_sharded(scene, mesh, wave, film):
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4)
+def _padded_batch_device(width: int, height: int, n_align: int):
+    """Device-resident padded (coords, pids, npix): uploaded once per image
+    shape and reused every wave (same tunnel-hygiene rationale as
+    renderer._pixel_coords_device)."""
     import jax.numpy as jnp
 
-    from .parallel.shard import pad_ray_batch, render_wave_sharded
+    from .parallel.shard import pad_ray_batch
+
+    coords, pids, npix = pad_ray_batch(width, height, n_align)
+    return jnp.asarray(coords), jnp.asarray(pids), npix
+
+
+def _render_wave_sharded(scene, mesh, wave, film):
+    from .parallel.shard import render_wave_sharded
 
     H, W = scene.height, scene.width
-    coords, pids, npix = pad_ray_batch(W, H, mesh.shape["rays"])
+    coords, pids, npix = _padded_batch_device(W, H, mesh.shape["rays"])
     contrib, n_capped, _ = render_wave_sharded(
         mesh, scene.medium, scene.params, scene.camera, _bb(scene),
-        jnp.asarray(coords), jnp.asarray(pids), scene.seed, wave,
-        scene.use_jitter,
+        coords, pids, scene.seed, wave, scene.use_jitter,
     )
-    ncap = int(n_capped)
-    if ncap:
-        print(flush=True)
-        vlog.warn(
-            f"wave {wave}: {ncap} rays truncated at the "
-            f"iteration cap (max_iters={scene.params.max_iters})"
-        )
-    return film + contrib[:npix].reshape(H, W, 4)
+    return film + contrib[:npix].reshape(H, W, 4), n_capped
 
 
 if __name__ == "__main__":

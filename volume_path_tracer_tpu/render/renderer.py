@@ -155,8 +155,14 @@ def render_wave_image(
     film: Optional[jnp.ndarray] = None,
     chunk_pixels: Optional[int] = None,
     chunk_callback=None,
+    return_ncap: bool = False,
 ) -> jnp.ndarray:
     """Accumulate one full wave into the film [H, W, 4]; returns the new film.
+
+    return_ncap=True returns (film, n_capped_device_scalar) and skips the
+    host-side truncation warning: reading the scalar here costs one tunnel
+    round-trip (~22 ms) per wave, so latency-sensitive drivers accumulate
+    it on device and read/warn once at the end (see cli.main).
 
     chunk_callback(pixels_done, pixels_total, film [H, W, 4]) is invoked after
     each pixel chunk when the wave is chunked — the mid-wave feedback hook
@@ -175,11 +181,12 @@ def render_wave_image(
         x, y = scene.single_pixel
         raster = jnp.asarray([[x, y]], jnp.int32)
         pids = jnp.asarray([y * W + x], jnp.int32)
-        contrib, _, _ = render_rays_wave(
+        contrib, _, sp_ncap = render_rays_wave(
             scene.medium, scene.params, scene.camera, bb, raster, pids,
             scene.seed, wave, scene.use_jitter, scene.camera.imaging_ratio,
         )
-        return film.at[y, x].add(contrib[0])
+        film = film.at[y, x].add(contrib[0])
+        return (film, sp_ncap) if return_ncap else film
 
     n = W * H
     chunk = chunk_pixels or n
@@ -205,6 +212,8 @@ def render_wave_image(
         ncap_dev = n_capped if ncap_dev is None else ncap_dev + n_capped
         if chunk_callback is not None and end < n:
             chunk_callback(end, n, out.reshape(H, W, 4))
+    if return_ncap:
+        return out.reshape(H, W, 4), ncap_dev
     ncap = int(ncap_dev)
     if ncap:
         from ..utils import logging as vlog
