@@ -240,11 +240,27 @@ def render(
     """
     waves = num_waves if num_waves is not None else scene.num_waves
     film = jnp.zeros((scene.height, scene.width, 4), jnp.float32)
+    # Truncation counts accumulate on device and are read once at the end —
+    # a per-wave host read costs one tunnel round-trip (~22 ms; see
+    # render_wave_image's return_ncap note).
+    ncap_total = None
     for w in range(1, waves + 1):  # waves are 1-indexed (tile_provider.cpp:28)
-        film = render_wave_image(scene, w, film, chunk_pixels)
+        film, ncap_w = render_wave_image(
+            scene, w, film, chunk_pixels, return_ncap=True
+        )
+        ncap_total = ncap_w if ncap_total is None else ncap_total + ncap_w
         if wave_callback is not None:
             if wave_callback(w, film) is False:
                 break
+    ncap = int(ncap_total)
+    if ncap:
+        from ..utils import logging as vlog
+
+        vlog.warn(
+            f"{ncap} rays (all waves) truncated at the iteration cap "
+            f"(max_iters={scene.params.max_iters}) - raise max_iters to "
+            f"eliminate the bias"
+        )
     return film
 
 
