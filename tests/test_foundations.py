@@ -352,3 +352,40 @@ class TestPackedTrilinear:
                 for k in range(bz):
                     assert rows[idx, 1] == s[i // 8, j // 8, k // 8]
                     idx += 1
+
+
+class TestWaveDriverContracts:
+    """Round-5 driver tunnel-hygiene surfaces (renderer.py)."""
+
+    def test_render_wave_image_return_ncap(self):
+        import jax
+        import numpy as np
+
+        from tests.scene_fixtures import small_scene
+        from volume_path_tracer_tpu.render.renderer import (
+            Scene, render_wave_image,
+        )
+
+        medium, camera, params, W, H = small_scene()
+        scene = Scene(
+            medium=medium, camera=camera, params=params, width=W, height=H,
+            seed=5, num_waves=1, use_jitter=True,
+        )
+        film, ncap = render_wave_image(scene, 1, return_ncap=True)
+        assert film.shape == (H, W, 4)
+        # the scalar stays on device until the caller reads it
+        assert int(ncap) >= 0
+        film2 = render_wave_image(scene, 1)
+        np.testing.assert_array_equal(np.asarray(film), np.asarray(film2))
+
+    def test_pixel_coords_device_cache(self):
+        from volume_path_tracer_tpu.render.renderer import (
+            _pixel_coords_device, pixel_coords,
+        )
+        import numpy as np
+
+        c1, p1 = _pixel_coords_device(8, 6)
+        c2, p2 = _pixel_coords_device(8, 6)
+        assert c1 is c2 and p1 is p2  # cached: uploaded once per shape
+        np.testing.assert_array_equal(np.asarray(c1), pixel_coords(8, 6))
+        np.testing.assert_array_equal(np.asarray(p1), np.arange(48))
